@@ -1,0 +1,512 @@
+"""Distributed index build — the Ray-Data-native SPIMI equivalent.
+
+Reference pipeline (/root/reference/engine/indexing/spimi.py:56-123): one
+thread streams documents, accumulates an in-memory positional index, flushes
+sorted buckets at a memory limit, then k-way heap-merges buckets into one
+postings file + SQLite offset catalog + docWeights.bin.
+
+Ray-Data-native rebuild:
+
+  read_parquet(corpus)
+    -> assign_doc_ids (one explicit global decision, ids.py)
+    -> map_batches(TokenizeDocs actor pool)          # SPIMI block ≙ Ray block
+         emits per-doc rows: doc stats + per-term (tftd, positions)
+    -> write docterms/ (resumable intermediate, columnar)
+  docterms -> doc stats parquet + corpus scalars (pruned-column re-read)
+  docterms -> heavy-hitter df detection (per-block partial counts -> tiny
+              groupby-sum; the combiner-before-shuffle pattern)
+  docterms -> explode to (term, doc_id, tftd, positions) with keys
+              shard   = doc_id // docs_per_shard      (bounds posting lists)
+              bucket  = crc32(term) % num_buckets     (merge shuffle key)
+              salt    = contiguous doc-range split for heavy terms
+    -> groupby(gkey).map_groups(merge+encode)         # replaces heap merge
+    -> segments/ parquet: one posting-list *fragment* per (term, shard,
+       salt): VByte blob (doc gaps, tftd, position gaps) + skip-block
+       metadata (last doc id, max tftd, byte offset per 128 postings)
+  manifest.json: corpus scalars, per-stage lineage + per-file metrics,
+       committed last -> a re-run skips completed stages (resume).
+
+Salting uses contiguous doc sub-ranges (not hashes) so a heavy term's
+fragments are doc_id-range-disjoint: the query reader concatenates fragments
+in (shard, salt) order and postings stay globally doc_id-sorted with no
+second merge pass.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import zlib
+from dataclasses import dataclass, field, asdict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from .tokenizer import TokenTermCache, analyze_document, euclidean_weight, sha256_hex
+
+MANIFEST_NAME = "manifest.json"
+SALT_WIDTH = 4096  # max fragments per (term, shard)
+
+
+def _as_array(col) -> pa.Array:
+    """Normalize a Table column to a single contiguous pa.Array."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks else pa.array([], type=col.type)
+    return col
+
+
+def term_bucket(term: str, num_buckets: int) -> int:
+    return zlib.crc32(term.encode("utf-8")) % num_buckets
+
+
+@dataclass
+class IndexBuildConfig:
+    docs_per_shard: int = 1 << 20
+    num_buckets: int = 32
+    heavy_df_threshold: int | None = 100_000  # df within a shard before salting
+    max_salt: int = 64
+    skip_block: int = 128
+    tokenize_batch_size: int = 64
+    tokenize_concurrency: tuple = (2, 32)
+    content_col: str = "content"
+    title_col: str = "path"
+    id_col: str = "doc_id"  # pre-assigned dense id column (None -> assign)
+    segment_row_group_size: int = 512
+
+    def to_json(self) -> dict:
+        d = asdict(self)
+        d["tokenize_concurrency"] = list(self.tokenize_concurrency)
+        return d
+
+
+class TokenizeDocs:
+    """Actor-pool tokenizer: per-actor stemmer/token cache (north-star
+    'stemmer caches on actor pools'), per-batch vector output."""
+
+    def __init__(self, config: IndexBuildConfig):
+        self.cfg = config
+        self.cache = TokenTermCache()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        contents = batch.column(cfg.content_col).to_pylist()
+        titles = batch.column(cfg.title_col).to_pylist()
+        doc_ids = batch.column(cfg.id_col).to_pylist()
+
+        out_doc_id, out_title, out_len, out_ld, out_sha = [], [], [], [], []
+        out_terms, out_tftds, out_positions = [], [], []
+        for doc_id, title, content in zip(doc_ids, titles, contents):
+            term_pos, doc_length = analyze_document(content, self.cache)
+            # L_d includes the empty term (spimi.py:72-79,110-117); the
+            # index itself never stores it (postionalinvertedindex.py:28).
+            l_d = euclidean_weight(len(v) for v in term_pos.values())
+            term_pos.pop("", None)
+            terms = sorted(term_pos)
+            out_doc_id.append(doc_id)
+            out_title.append(title)
+            out_len.append(doc_length)
+            out_ld.append(l_d)
+            out_sha.append(sha256_hex(content))
+            out_terms.append(terms)
+            out_tftds.append([len(term_pos[t]) for t in terms])
+            out_positions.append([term_pos[t] for t in terms])
+        return pa.table(
+            {
+                "doc_id": pa.array(out_doc_id, type=pa.int64()),
+                "title": pa.array(out_title, type=pa.string()),
+                "doc_length": pa.array(out_len, type=pa.int64()),
+                "l_d": pa.array(out_ld, type=pa.float64()),
+                "sha256": pa.array(out_sha, type=pa.string()),
+                "terms": pa.array(out_terms, type=pa.list_(pa.string())),
+                "tftds": pa.array(out_tftds, type=pa.list_(pa.int32())),
+                "positions": pa.array(
+                    out_positions, type=pa.list_(pa.list_(pa.int32()))
+                ),
+            }
+        )
+
+
+def _explode_factory(cfg: IndexBuildConfig, heavy: dict[str, int]):
+    """docterms batch -> exploded (term, doc_id, tftd, positions, gkey)."""
+    B = cfg.num_buckets
+    dps = cfg.docs_per_shard
+
+    def explode(batch: pa.Table) -> pa.Table:
+        terms_col = _as_array(batch.column("terms"))
+        tftds_col = _as_array(batch.column("tftds"))
+        pos_col = _as_array(batch.column("positions"))
+
+        lens = pa.compute.list_value_length(terms_col).to_numpy(zero_copy_only=False)
+        doc_ids = np.repeat(
+            _as_array(batch.column("doc_id")).to_numpy(zero_copy_only=False), lens
+        )
+        flat_terms = terms_col.flatten()
+        flat_tftds = tftds_col.flatten()
+        flat_positions = pos_col.flatten()  # list<int32> per (doc, term)
+
+        term_list = flat_terms.to_pylist()
+        buckets = np.fromiter(
+            (zlib.crc32(t.encode("utf-8")) % B for t in term_list),
+            dtype=np.int64,
+            count=len(term_list),
+        )
+        shards = doc_ids // dps
+        salts = np.zeros(len(term_list), dtype=np.int64)
+        if heavy:
+            rel = doc_ids - shards * dps
+            for i, t in enumerate(term_list):
+                s_t = heavy.get(t)
+                if s_t:
+                    salts[i] = rel[i] * s_t // dps
+        gkey = (shards * B + buckets) * SALT_WIDTH + salts
+        return pa.table(
+            {
+                "term": flat_terms,
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "tftd": flat_tftds,
+                "positions": flat_positions,
+                "shard": pa.array(shards, type=pa.int32()),
+                "bucket": pa.array(buckets, type=pa.int32()),
+                "salt": pa.array(salts, type=pa.int32()),
+                "gkey": pa.array(gkey, type=pa.int64()),
+            }
+        )
+
+    return explode
+
+
+def _merge_group_factory(cfg: IndexBuildConfig):
+    """One (shard, bucket, salt) group -> encoded posting-list fragments."""
+    from . import vbyte
+
+    skip_n = cfg.skip_block
+
+    def merge(group: pa.Table) -> pa.Table:
+        group = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+        n = len(group)
+        if n == 0:
+            return pa.table(
+                {
+                    "term": pa.array([], type=pa.string()),
+                    "shard": pa.array([], type=pa.int32()),
+                    "salt": pa.array([], type=pa.int32()),
+                    "bucket": pa.array([], type=pa.int32()),
+                    "df": pa.array([], type=pa.int64()),
+                    "cf": pa.array([], type=pa.int64()),
+                    "blob": pa.array([], type=pa.binary()),
+                    "skip_last_doc": pa.array([], type=pa.list_(pa.int64())),
+                    "skip_max_tftd": pa.array([], type=pa.list_(pa.int64())),
+                    "skip_offset": pa.array([], type=pa.list_(pa.int64())),
+                }
+            )
+        terms = np.asarray(group.column("term").to_pylist(), dtype=object)
+        doc_ids = _as_array(group.column("doc_id")).to_numpy(zero_copy_only=False).astype(np.int64)
+        tftds = _as_array(group.column("tftd")).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos_arr = _as_array(group.column("positions"))
+        pos_flat = pos_arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        pos_offsets = pos_arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        pos_offsets = pos_offsets - pos_offsets[0]  # len n+1
+        shard = int(group.column("shard")[0].as_py())
+        bucket = int(group.column("bucket")[0].as_py())
+        salt = int(group.column("salt")[0].as_py())
+
+        # term-run boundaries (group is term-sorted)
+        new_term = np.empty(n, dtype=bool)
+        new_term[0] = True
+        new_term[1:] = terms[1:] != terms[:-1]
+        run_starts = np.flatnonzero(new_term)          # posting index
+        run_ends = np.append(run_starts[1:], n)
+        run_id = np.cumsum(new_term) - 1               # term idx per posting
+
+        # doc gaps: absolute at run start, delta inside run
+        doc_gap = doc_ids.copy()
+        doc_gap[1:] -= doc_ids[:-1]
+        doc_gap[run_starts] = doc_ids[run_starts]
+
+        # position gaps: absolute at each list start, delta inside
+        pos_gap = pos_flat.copy()
+        pos_gap[1:] -= pos_flat[:-1]
+        list_starts = pos_offsets[:-1][tftds > 0]
+        pos_gap[list_starts] = pos_flat[list_starts]
+
+        # interleaved stream: per posting [doc_gap, tftd, *pos_gaps]
+        ints_per_posting = 2 + tftds
+        p_ends = np.cumsum(ints_per_posting)
+        p_starts = p_ends - ints_per_posting
+        total_ints = int(p_ends[-1]) if n else 0
+        stream = np.empty(total_ints, dtype=np.uint64)
+        stream[p_starts] = doc_gap.astype(np.uint64)
+        stream[p_starts + 1] = tftds.astype(np.uint64)
+        rep = np.repeat(np.arange(n), tftds)
+        pos_out_idx = p_starts[rep] + 2 + (np.arange(pos_flat.size) - pos_offsets[:-1][rep])
+        stream[pos_out_idx] = pos_gap.astype(np.uint64)
+
+        blen = vbyte.encoded_lengths(stream)
+        byte_ends = np.cumsum(blen)
+        byte_starts = byte_ends - blen
+        encoded = vbyte.encode(stream)
+
+        # per-term byte ranges
+        term_byte_start = byte_starts[p_starts[run_starts]]
+        last_int = p_ends[run_ends - 1] - 1
+        term_byte_end = byte_ends[last_int]
+
+        # stats per term
+        df = (run_ends - run_starts).astype(np.int64)
+        cf = np.add.reduceat(tftds, run_starts).astype(np.int64)
+
+        # skip blocks: every skip_n postings within a term run
+        blobs, skip_last, skip_max, skip_off = [], [], [], []
+        n_terms = len(run_starts)
+        mv = memoryview(encoded)
+        for t in range(n_terms):
+            s, e = int(run_starts[t]), int(run_ends[t])
+            bs, be = int(term_byte_start[t]), int(term_byte_end[t])
+            blobs.append(bytes(mv[bs:be]))
+            block_starts = np.arange(s, e, skip_n)
+            block_ends = np.append(block_starts[1:], e)
+            skip_last.append(doc_ids[block_ends - 1].tolist())
+            skip_max.append(
+                np.maximum.reduceat(tftds[s:e], block_starts - s).astype(np.int64).tolist()
+            )
+            skip_off.append((byte_starts[p_starts[block_starts]] - bs).tolist())
+
+        return pa.table(
+            {
+                "term": pa.array([str(t) for t in terms[run_starts]]),
+                "shard": pa.array([shard] * n_terms, type=pa.int32()),
+                "salt": pa.array([salt] * n_terms, type=pa.int32()),
+                "bucket": pa.array([bucket] * n_terms, type=pa.int32()),
+                "df": pa.array(df, type=pa.int64()),
+                "cf": pa.array(cf, type=pa.int64()),
+                "blob": pa.array(blobs, type=pa.binary()),
+                "skip_last_doc": pa.array(skip_last, type=pa.list_(pa.int64())),
+                "skip_max_tftd": pa.array(skip_max, type=pa.list_(pa.int64())),
+                "skip_offset": pa.array(skip_off, type=pa.list_(pa.int64())),
+            }
+        )
+
+    return merge
+
+
+def _stage_done(index_dir: str, stage: str, fingerprint: str) -> bool:
+    marker = os.path.join(index_dir, f"_STAGE_{stage}.json")
+    if not os.path.exists(marker):
+        return False
+    try:
+        with open(marker) as f:
+            return json.load(f).get("fingerprint") == fingerprint
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
+def _commit_stage(index_dir: str, stage: str, fingerprint: str, **metrics) -> None:
+    marker = os.path.join(index_dir, f"_STAGE_{stage}.json")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"stage": stage, "fingerprint": fingerprint, **metrics}, f, indent=1)
+    os.replace(tmp, marker)
+
+
+def _dir_lineage(path: str) -> list[dict]:
+    """Per-file lineage/metrics from parquet footers (no data read)."""
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        full = os.path.join(path, name)
+        md = pq.ParquetFile(full).metadata
+        out.append(
+            {"file": name, "rows": md.num_rows, "bytes": os.path.getsize(full)}
+        )
+    return out
+
+
+def detect_heavy_terms(
+    docterms: ray.data.Dataset, cfg: IndexBuildConfig
+) -> dict[str, int]:
+    """Heavy-hitter detection: per-block partial df counts (combiner) ->
+    tiny groupby-sum -> {term: salt_width} for terms whose df within one
+    shard could exceed the threshold."""
+    if cfg.heavy_df_threshold is None:
+        return {}
+    threshold = cfg.heavy_df_threshold
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        terms_col = _as_array(batch.column("terms"))
+        for t in terms_col.flatten().to_pylist():
+            counts[t] = counts.get(t, 0) + 1
+        if not counts:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "n": pa.array([], type=pa.int64())})
+        return pa.table(
+            {"term": pa.array(list(counts)), "n": pa.array(list(counts.values()),
+                                                           type=pa.int64())}
+        )
+
+    totals = (
+        docterms.select_columns(["terms"])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("term")
+        .sum("n")
+    )
+
+    def keep_heavy(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pa.compute.greater_equal(batch.column("sum(n)"), threshold)
+        )
+
+    heavy_rows = totals.map_batches(keep_heavy, batch_format="pyarrow").take_all()
+    heavy = {}
+    for r in heavy_rows:
+        if not r["term"]:
+            continue
+        width = min(cfg.max_salt, max(2, int(np.ceil(r["sum(n)"] / threshold))))
+        heavy[r["term"]] = width
+    return heavy
+
+
+def build_index(
+    corpus: ray.data.Dataset,
+    index_dir: str,
+    cfg: IndexBuildConfig | None = None,
+    input_description: str = "",
+) -> dict:
+    """Run the full build; returns the manifest dict.  Resumable: completed
+    stages (matching fingerprint markers) are skipped on re-run."""
+    cfg = cfg or IndexBuildConfig()
+    os.makedirs(index_dir, exist_ok=True)
+    fingerprint = json.dumps(
+        {"input": input_description, "cfg": cfg.to_json()}, sort_keys=True
+    )
+    t0 = time.perf_counter()
+
+    docterms_dir = os.path.join(index_dir, "docterms")
+    docstats_dir = os.path.join(index_dir, "docstats")
+    segments_dir = os.path.join(index_dir, "segments")
+
+    # ---- stage 1: tokenize -> docterms ----
+    if not _stage_done(index_dir, "docterms", fingerprint):
+        if cfg.id_col not in corpus.schema().names:
+            from .ids import assign_doc_ids
+
+            corpus = assign_doc_ids(corpus)
+        import shutil
+
+        shutil.rmtree(docterms_dir, ignore_errors=True)
+        corpus.map_batches(
+            TokenizeDocs,
+            fn_constructor_args=(cfg,),
+            batch_format="pyarrow",
+            batch_size=cfg.tokenize_batch_size,
+            concurrency=cfg.tokenize_concurrency,
+        ).write_parquet(docterms_dir)
+        _commit_stage(
+            index_dir, "docterms", fingerprint, files=_dir_lineage(docterms_dir)
+        )
+
+    docterms = ray.data.read_parquet(docterms_dir)
+
+    # ---- stage 2: doc stats + corpus scalars ----
+    if not _stage_done(index_dir, "docstats", fingerprint):
+        import shutil
+
+        shutil.rmtree(docstats_dir, ignore_errors=True)
+        stats = docterms.select_columns(
+            ["doc_id", "title", "doc_length", "l_d", "sha256"]
+        )
+        stats.write_parquet(docstats_dir)
+        _commit_stage(
+            index_dir, "docstats", fingerprint, files=_dir_lineage(docstats_dir)
+        )
+
+    # ---- stage 3: heavy-hitter detection + postings merge -> segments ----
+    if not _stage_done(index_dir, "segments", fingerprint):
+        import shutil
+
+        heavy = detect_heavy_terms(docterms, cfg)
+        shutil.rmtree(segments_dir, ignore_errors=True)
+        exploded = docterms.select_columns(
+            ["doc_id", "terms", "tftds", "positions"]
+        ).map_batches(_explode_factory(cfg, heavy), batch_format="pyarrow")
+        merged = exploded.groupby("gkey").map_groups(
+            _merge_group_factory(cfg), batch_format="pyarrow"
+        )
+        merged.write_parquet(
+            segments_dir, row_group_size=cfg.segment_row_group_size
+        )
+        _commit_stage(
+            index_dir,
+            "segments",
+            fingerprint,
+            heavy_terms={t: w for t, w in heavy.items()},
+            files=_dir_lineage(segments_dir),
+        )
+
+    # ---- finalize: manifest (commit point) ----
+    stats_tbl = pq.read_table(docstats_dir, columns=["doc_length"])
+    num_docs = stats_tbl.num_rows
+    total_tokens = int(pa.compute.sum(stats_tbl.column("doc_length")).as_py() or 0)
+
+    seg_files = []
+    for name in sorted(os.listdir(segments_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(segments_dir, name))
+        buckets = set()
+        shards = set()
+        tmin, tmax = None, None
+        for rg in range(md.metadata.num_row_groups):
+            rgmd = md.metadata.row_group(rg)
+            for ci in range(rgmd.num_columns):
+                col = rgmd.column(ci)
+                if col.path_in_schema == "bucket" and col.statistics:
+                    buckets.update(
+                        range(col.statistics.min, col.statistics.max + 1)
+                    )
+                if col.path_in_schema == "shard" and col.statistics:
+                    shards.update(range(col.statistics.min, col.statistics.max + 1))
+                if col.path_in_schema == "term" and col.statistics:
+                    lo, hi = col.statistics.min, col.statistics.max
+                    tmin = lo if tmin is None else min(tmin, lo)
+                    tmax = hi if tmax is None else max(tmax, hi)
+        seg_files.append(
+            {
+                "file": name,
+                "rows": md.metadata.num_rows,
+                "buckets": sorted(buckets),
+                "shards": sorted(shards),
+                "term_min": tmin,
+                "term_max": tmax,
+            }
+        )
+
+    with open(os.path.join(index_dir, "_STAGE_segments.json")) as f:
+        heavy_terms = json.load(f).get("heavy_terms", {})
+
+    manifest = {
+        "version": 1,
+        "input": input_description,
+        "config": cfg.to_json(),
+        "fingerprint": fingerprint,
+        "num_docs": num_docs,
+        "total_tokens": total_tokens,
+        "avg_doc_length": (total_tokens / num_docs) if num_docs else 0.0,
+        "num_buckets": cfg.num_buckets,
+        "docs_per_shard": cfg.docs_per_shard,
+        "heavy_terms": heavy_terms,
+        "segments": seg_files,
+        "docstats_files": _dir_lineage(docstats_dir),
+        "build_seconds": time.perf_counter() - t0,
+    }
+    tmp = os.path.join(index_dir, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, os.path.join(index_dir, MANIFEST_NAME))
+    return manifest
