@@ -132,7 +132,7 @@ class TokenizeDocs:
 
 
 def _explode_factory(cfg: IndexBuildConfig, heavy: dict[str, int]):
-    """docterms batch -> exploded (term, doc_id, tftd, positions, gkey)."""
+    """docterms batch -> exploded (term, doc_id, dl, tftd, positions, gkey)."""
     B = cfg.num_buckets
     dps = cfg.docs_per_shard
 
@@ -144,6 +144,9 @@ def _explode_factory(cfg: IndexBuildConfig, heavy: dict[str, int]):
         lens = pa.compute.list_value_length(terms_col).to_numpy(zero_copy_only=False)
         doc_ids = np.repeat(
             _as_array(batch.column("doc_id")).to_numpy(zero_copy_only=False), lens
+        )
+        dls = np.repeat(
+            _as_array(batch.column("doc_length")).to_numpy(zero_copy_only=False), lens
         )
         flat_terms = terms_col.flatten()
         flat_tftds = tftds_col.flatten()
@@ -168,6 +171,7 @@ def _explode_factory(cfg: IndexBuildConfig, heavy: dict[str, int]):
             {
                 "term": flat_terms,
                 "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "dl": pa.array(dls, type=pa.int64()),
                 "tftd": flat_tftds,
                 "positions": flat_positions,
                 "shard": pa.array(shards, type=pa.int32()),
@@ -180,8 +184,51 @@ def _explode_factory(cfg: IndexBuildConfig, heavy: dict[str, int]):
     return explode
 
 
-def _merge_group_factory(cfg: IndexBuildConfig):
-    """One (shard, bucket, salt) group -> encoded posting-list fragments."""
+_SEGMENT_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("shard", pa.int32()),
+        ("salt", pa.int32()),
+        ("bucket", pa.int32()),
+        ("df", pa.int64()),
+        ("cf", pa.int64()),
+        ("max_wdt", pa.float64()),
+        ("blob", pa.binary()),
+        ("pos_blob", pa.binary()),
+        ("skip_last_doc", pa.list_(pa.int64())),
+        ("skip_max_tftd", pa.list_(pa.int64())),
+        ("skip_max_wdt", pa.list_(pa.float64())),
+        ("skip_offset", pa.list_(pa.int64())),
+    ]
+)
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_wdt(tftds: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+    """Okapi wdt exactly as the reference computes it
+    (/root/reference/engine/querying/rankedquery.py:22): k1=1.2, b=0.75."""
+    tf = tftds.astype(np.float64)
+    return (BM25_K1 + 1.0) * tf / (
+        BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dls / avgdl)) + tf
+    )
+
+
+def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
+    """One (shard, bucket, salt) group -> encoded posting-list fragments.
+
+    Encoding (north rule: delta + VByte + block-max skip metadata):
+    - ``blob``: VByte stream of interleaved (doc_gap, tftd), 2 ints/posting.
+      First gap of the fragment is the absolute doc_id; gaps are continuous
+      across skip blocks, so block k decodes independently given
+      skip_last_doc[k-1] as its base.
+    - ``pos_blob``: VByte stream of position gaps (absolute at each
+      posting's first position, delta inside a posting's list).
+    - skip arrays, one entry per ``skip_block`` postings: last doc_id,
+      max tftd, max BM25 wdt (precomputed against the corpus avgdl so the
+      query-time WAND bound is wqt * skip_max_wdt), byte offset into blob.
+    """
     from . import vbyte
 
     skip_n = cfg.skip_block
@@ -190,22 +237,10 @@ def _merge_group_factory(cfg: IndexBuildConfig):
         group = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
         n = len(group)
         if n == 0:
-            return pa.table(
-                {
-                    "term": pa.array([], type=pa.string()),
-                    "shard": pa.array([], type=pa.int32()),
-                    "salt": pa.array([], type=pa.int32()),
-                    "bucket": pa.array([], type=pa.int32()),
-                    "df": pa.array([], type=pa.int64()),
-                    "cf": pa.array([], type=pa.int64()),
-                    "blob": pa.array([], type=pa.binary()),
-                    "skip_last_doc": pa.array([], type=pa.list_(pa.int64())),
-                    "skip_max_tftd": pa.array([], type=pa.list_(pa.int64())),
-                    "skip_offset": pa.array([], type=pa.list_(pa.int64())),
-                }
-            )
+            return _SEGMENT_SCHEMA.empty_table()
         terms = np.asarray(group.column("term").to_pylist(), dtype=object)
         doc_ids = _as_array(group.column("doc_id")).to_numpy(zero_copy_only=False).astype(np.int64)
+        dls = _as_array(group.column("dl")).to_numpy(zero_copy_only=False).astype(np.int64)
         tftds = _as_array(group.column("tftd")).to_numpy(zero_copy_only=False).astype(np.int64)
         pos_arr = _as_array(group.column("positions"))
         pos_flat = pos_arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
@@ -215,66 +250,81 @@ def _merge_group_factory(cfg: IndexBuildConfig):
         bucket = int(group.column("bucket")[0].as_py())
         salt = int(group.column("salt")[0].as_py())
 
+        wdts = bm25_wdt(tftds, dls.astype(np.float64), avgdl)
+
         # term-run boundaries (group is term-sorted)
         new_term = np.empty(n, dtype=bool)
         new_term[0] = True
         new_term[1:] = terms[1:] != terms[:-1]
         run_starts = np.flatnonzero(new_term)          # posting index
         run_ends = np.append(run_starts[1:], n)
-        run_id = np.cumsum(new_term) - 1               # term idx per posting
 
         # doc gaps: absolute at run start, delta inside run
         doc_gap = doc_ids.copy()
         doc_gap[1:] -= doc_ids[:-1]
         doc_gap[run_starts] = doc_ids[run_starts]
 
+        # doc/tf stream: per posting [doc_gap, tftd]
+        stream = np.empty(2 * n, dtype=np.uint64)
+        stream[0::2] = doc_gap.astype(np.uint64)
+        stream[1::2] = tftds.astype(np.uint64)
+        blen = vbyte.encoded_lengths(stream)
+        byte_ends = np.cumsum(blen)
+        byte_starts = byte_ends - blen
+        encoded = vbyte.encode(stream)
+        term_byte_start = byte_starts[2 * run_starts]
+        term_byte_end = byte_ends[2 * run_ends - 1]
+
         # position gaps: absolute at each list start, delta inside
         pos_gap = pos_flat.copy()
         pos_gap[1:] -= pos_flat[:-1]
         list_starts = pos_offsets[:-1][tftds > 0]
         pos_gap[list_starts] = pos_flat[list_starts]
+        pos_blen = vbyte.encoded_lengths(pos_gap)
+        pos_byte_ends = np.cumsum(pos_blen)
+        pos_encoded = vbyte.encode(pos_gap)
+        # byte range of each term run in pos_blob
+        run_pos_start_int = pos_offsets[run_starts]    # first position int
+        run_pos_end_int = pos_offsets[run_ends]        # one-past-last int
+        pos_byte_starts = pos_byte_ends - pos_blen
+        term_pos_byte_start = np.where(
+            run_pos_end_int > run_pos_start_int,
+            pos_byte_starts[np.minimum(run_pos_start_int, pos_gap.size - 1)],
+            0,
+        )
+        term_pos_byte_end = np.where(
+            run_pos_end_int > run_pos_start_int,
+            pos_byte_ends[run_pos_end_int - 1],
+            0,
+        )
 
-        # interleaved stream: per posting [doc_gap, tftd, *pos_gaps]
-        ints_per_posting = 2 + tftds
-        p_ends = np.cumsum(ints_per_posting)
-        p_starts = p_ends - ints_per_posting
-        total_ints = int(p_ends[-1]) if n else 0
-        stream = np.empty(total_ints, dtype=np.uint64)
-        stream[p_starts] = doc_gap.astype(np.uint64)
-        stream[p_starts + 1] = tftds.astype(np.uint64)
-        rep = np.repeat(np.arange(n), tftds)
-        pos_out_idx = p_starts[rep] + 2 + (np.arange(pos_flat.size) - pos_offsets[:-1][rep])
-        stream[pos_out_idx] = pos_gap.astype(np.uint64)
-
-        blen = vbyte.encoded_lengths(stream)
-        byte_ends = np.cumsum(blen)
-        byte_starts = byte_ends - blen
-        encoded = vbyte.encode(stream)
-
-        # per-term byte ranges
-        term_byte_start = byte_starts[p_starts[run_starts]]
-        last_int = p_ends[run_ends - 1] - 1
-        term_byte_end = byte_ends[last_int]
-
-        # stats per term
         df = (run_ends - run_starts).astype(np.int64)
         cf = np.add.reduceat(tftds, run_starts).astype(np.int64)
+        max_wdt_per_term = np.maximum.reduceat(wdts, run_starts)
 
-        # skip blocks: every skip_n postings within a term run
-        blobs, skip_last, skip_max, skip_off = [], [], [], []
+        blobs, pos_blobs, skip_last, skip_max_tf, skip_max_w, skip_off = (
+            [], [], [], [], [], []
+        )
         n_terms = len(run_starts)
         mv = memoryview(encoded)
+        pos_mv = memoryview(pos_encoded)
         for t in range(n_terms):
             s, e = int(run_starts[t]), int(run_ends[t])
             bs, be = int(term_byte_start[t]), int(term_byte_end[t])
             blobs.append(bytes(mv[bs:be]))
+            pos_blobs.append(
+                bytes(pos_mv[int(term_pos_byte_start[t]):int(term_pos_byte_end[t])])
+            )
             block_starts = np.arange(s, e, skip_n)
             block_ends = np.append(block_starts[1:], e)
             skip_last.append(doc_ids[block_ends - 1].tolist())
-            skip_max.append(
+            skip_max_tf.append(
                 np.maximum.reduceat(tftds[s:e], block_starts - s).astype(np.int64).tolist()
             )
-            skip_off.append((byte_starts[p_starts[block_starts]] - bs).tolist())
+            skip_max_w.append(
+                np.maximum.reduceat(wdts[s:e], block_starts - s).tolist()
+            )
+            skip_off.append((byte_starts[2 * block_starts] - bs).tolist())
 
         return pa.table(
             {
@@ -284,11 +334,15 @@ def _merge_group_factory(cfg: IndexBuildConfig):
                 "bucket": pa.array([bucket] * n_terms, type=pa.int32()),
                 "df": pa.array(df, type=pa.int64()),
                 "cf": pa.array(cf, type=pa.int64()),
+                "max_wdt": pa.array(max_wdt_per_term, type=pa.float64()),
                 "blob": pa.array(blobs, type=pa.binary()),
+                "pos_blob": pa.array(pos_blobs, type=pa.binary()),
                 "skip_last_doc": pa.array(skip_last, type=pa.list_(pa.int64())),
-                "skip_max_tftd": pa.array(skip_max, type=pa.list_(pa.int64())),
+                "skip_max_tftd": pa.array(skip_max_tf, type=pa.list_(pa.int64())),
+                "skip_max_wdt": pa.array(skip_max_w, type=pa.list_(pa.float64())),
                 "skip_offset": pa.array(skip_off, type=pa.list_(pa.int64())),
-            }
+            },
+            schema=_SEGMENT_SCHEMA,
         )
 
     return merge
@@ -430,13 +484,20 @@ def build_index(
     if not _stage_done(index_dir, "segments", fingerprint):
         import shutil
 
+        # corpus scalars from docstats footers + one small column read —
+        # needed now so block-max BM25 wdt bounds go into the segments
+        dl_tbl = pq.read_table(docstats_dir, columns=["doc_length"])
+        n_docs = dl_tbl.num_rows
+        tot = int(pa.compute.sum(dl_tbl.column("doc_length")).as_py() or 0)
+        avgdl = (tot / n_docs) if n_docs else 1.0
+
         heavy = detect_heavy_terms(docterms, cfg)
         shutil.rmtree(segments_dir, ignore_errors=True)
         exploded = docterms.select_columns(
-            ["doc_id", "terms", "tftds", "positions"]
+            ["doc_id", "doc_length", "terms", "tftds", "positions"]
         ).map_batches(_explode_factory(cfg, heavy), batch_format="pyarrow")
         merged = exploded.groupby("gkey").map_groups(
-            _merge_group_factory(cfg), batch_format="pyarrow"
+            _merge_group_factory(cfg, avgdl), batch_format="pyarrow"
         )
         merged.write_parquet(
             segments_dir, row_group_size=cfg.segment_row_group_size

@@ -1,0 +1,216 @@
+"""Disk index reader — the query-side analogue of the reference's
+``DiskPositionalIndex`` (/root/reference/engine/indexing/diskpositionalindex.py:9-154).
+
+The reference loads a SQLite term→byte-offset catalog into a dict and seeks
+into one postings.bin.  Here the "catalog" is the lightweight columns
+(term, shard, salt, df, cf, max_wdt) of the segment parquet files — read
+once at construction (ST3 analogue) — while the heavy blob columns stay on
+disk and are fetched per term by row-group point reads.  Doc stats
+(doc_length, L_d, title: ST4/ST5 analogues) load into dense numpy arrays
+keyed by doc_id.
+
+Scale note: one reader holds the dictionary for the buckets it serves.  At
+10^12-doc scale, readers are deployed as an actor pool with each actor
+assigned a subset of (shard, bucket) pairs so no single process loads the
+global dictionary; this class takes an optional ``buckets=`` filter for
+exactly that.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections import OrderedDict
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from .. import vbyte
+from ..build import MANIFEST_NAME
+from .postings import PostingList
+
+
+@dataclass
+class Fragment:
+    """Locator + stats for one (term, shard, salt) posting-list fragment."""
+
+    file_idx: int
+    row_idx: int
+    shard: int
+    salt: int
+    df: int
+    cf: int
+    max_wdt: float
+
+
+class DiskIndexReader:
+    def __init__(
+        self,
+        index_dir: str,
+        buckets: list[int] | None = None,
+        cache_size: int = 1024,
+    ):
+        self.index_dir = index_dir
+        with open(os.path.join(index_dir, MANIFEST_NAME)) as f:
+            self.manifest = json.load(f)
+        self.num_docs: int = self.manifest["num_docs"]
+        self.total_tokens: int = self.manifest["total_tokens"]
+        self.avg_doc_length: float = self.manifest["avg_doc_length"]
+
+        self._load_doc_stats()
+        self._load_dictionary(buckets)
+        self._cache: OrderedDict[tuple[str, bool], PostingList] = OrderedDict()
+        self._cache_size = cache_size
+
+    # ---- doc stats (ST4/ST5) ----
+
+    def _load_doc_stats(self) -> None:
+        tbl = pq.read_table(
+            os.path.join(self.index_dir, "docstats"),
+            columns=["doc_id", "title", "doc_length", "l_d"],
+        )
+        ids = tbl.column("doc_id").to_numpy()
+        order = np.argsort(ids)
+        n = self.num_docs
+        self.doc_length = np.zeros(n, dtype=np.int64)
+        self.l_d = np.ones(n, dtype=np.float64)
+        self.doc_length[ids[order]] = tbl.column("doc_length").to_numpy()[order]
+        self.l_d[ids[order]] = tbl.column("l_d").to_numpy()[order]
+        titles = np.asarray(tbl.column("title").to_pylist(), dtype=object)
+        self.title = np.empty(n, dtype=object)
+        self.title[ids[order]] = titles[order]
+
+    # ---- term dictionary (ST3) ----
+
+    def _load_dictionary(self, buckets: list[int] | None) -> None:
+        seg_dir = os.path.join(self.index_dir, "segments")
+        self._files: list[str] = []
+        self._row_group_rows: list[np.ndarray] = []
+        self._terms: dict[str, list[Fragment]] = {}
+        want = set(buckets) if buckets is not None else None
+        for seg in self.manifest["segments"]:
+            if want is not None and not (want & set(seg["buckets"])):
+                continue
+            path = os.path.join(seg_dir, seg["file"])
+            file_idx = len(self._files)
+            self._files.append(path)
+            pf = pq.ParquetFile(path)
+            rg_rows = np.array(
+                [pf.metadata.row_group(i).num_rows
+                 for i in range(pf.metadata.num_row_groups)],
+                dtype=np.int64,
+            )
+            self._row_group_rows.append(np.cumsum(rg_rows))
+            tbl = pq.read_table(
+                path, columns=["term", "shard", "salt", "df", "cf", "max_wdt"]
+            )
+            terms = tbl.column("term").to_pylist()
+            shards = tbl.column("shard").to_numpy()
+            salts = tbl.column("salt").to_numpy()
+            dfs = tbl.column("df").to_numpy()
+            cfs = tbl.column("cf").to_numpy()
+            maxw = tbl.column("max_wdt").to_numpy()
+            for i, t in enumerate(terms):
+                self._terms.setdefault(t, []).append(
+                    Fragment(file_idx, i, int(shards[i]), int(salts[i]),
+                             int(dfs[i]), int(cfs[i]), float(maxw[i]))
+                )
+        for frags in self._terms.values():
+            frags.sort(key=lambda fr: (fr.shard, fr.salt))
+
+    # ---- public API ----
+
+    def get_vocabulary(self) -> list[str]:
+        """Sorted vocabulary (reference: diskpositionalindex.py:52-55)."""
+        return sorted(self._terms)
+
+    def df(self, term: str) -> int:
+        frags = self._terms.get(term)
+        return sum(fr.df for fr in frags) if frags else 0
+
+    def cf(self, term: str) -> int:
+        frags = self._terms.get(term)
+        return sum(fr.cf for fr in frags) if frags else 0
+
+    def max_wdt(self, term: str) -> float:
+        frags = self._terms.get(term)
+        return max((fr.max_wdt for fr in frags), default=0.0) if frags else 0.0
+
+    def fragments(self, term: str) -> list[Fragment]:
+        return self._terms.get(term, [])
+
+    def get_document_length(self, doc_id: int) -> int:
+        return int(self.doc_length[doc_id])
+
+    def get_title(self, doc_id: int) -> str:
+        return str(self.title[doc_id])
+
+    def get_postings(self, term: str, with_positions: bool = False) -> PostingList:
+        """All postings for a term, doc_id-ascending across fragments."""
+        key = (term, with_positions)
+        hit = self._cache.get(key)
+        if hit is not None:
+            self._cache.move_to_end(key)
+            return hit
+        frags = self._terms.get(term)
+        if not frags:
+            out = PostingList.empty(with_positions)
+        else:
+            parts = [self._decode_fragment(fr, with_positions) for fr in frags]
+            out = _concat_postings(parts, with_positions)
+        if len(self._cache) >= self._cache_size:
+            self._cache.popitem(last=False)
+        self._cache[key] = out
+        return out
+
+    # ---- fragment access ----
+
+    def read_fragment_row(self, fr: Fragment, columns: list[str]) -> dict:
+        path = self._files[fr.file_idx]
+        ends = self._row_group_rows[fr.file_idx]
+        rg = int(np.searchsorted(ends, fr.row_idx, side="right"))
+        offset = fr.row_idx - (int(ends[rg - 1]) if rg else 0)
+        pf = pq.ParquetFile(path)
+        tbl = pf.read_row_group(rg, columns=columns).slice(offset, 1)
+        return {c: tbl.column(c)[0].as_py() for c in columns}
+
+    def _decode_fragment(self, fr: Fragment, with_positions: bool) -> PostingList:
+        cols = ["blob", "pos_blob"] if with_positions else ["blob"]
+        row = self.read_fragment_row(fr, cols)
+        arr = vbyte.decode(row["blob"], count=2 * fr.df)
+        doc_ids = np.cumsum(arr[0::2].astype(np.int64))
+        tftds = arr[1::2].astype(np.int64)
+        if not with_positions:
+            return PostingList(doc_ids, tftds)
+        pos_gaps = vbyte.decode(row["pos_blob"], count=fr.cf).astype(np.int64)
+        offsets = np.zeros(fr.df + 1, dtype=np.int64)
+        np.cumsum(tftds, out=offsets[1:])
+        positions = _segmented_cumsum(pos_gaps, offsets)
+        return PostingList(doc_ids, tftds, positions, offsets)
+
+
+def _segmented_cumsum(gaps: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Cumulative sum restarting at each list boundary (the first gap of a
+    list is stored absolute, so subtracting the running total at each list
+    start yields absolute positions)."""
+    if gaps.size == 0:
+        return gaps
+    cs = np.cumsum(gaps)
+    starts = offsets[:-1]
+    lens = offsets[1:] - offsets[:-1]
+    corr = np.where(starts > 0, cs[starts - 1], 0)
+    return cs - np.repeat(corr, lens)
+
+
+def _concat_postings(parts: list[PostingList], with_positions: bool) -> PostingList:
+    if len(parts) == 1:
+        return parts[0]
+    doc_ids = np.concatenate([p.doc_ids for p in parts])
+    tftds = np.concatenate([p.tftds for p in parts])
+    if not with_positions:
+        return PostingList(doc_ids, tftds)
+    positions = np.concatenate([p.positions for p in parts])
+    offsets = np.zeros(doc_ids.size + 1, dtype=np.int64)
+    np.cumsum(tftds, out=offsets[1:])
+    return PostingList(doc_ids, tftds, positions, offsets)

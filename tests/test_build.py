@@ -1,0 +1,123 @@
+"""Build pipeline invariants: deterministic doc ids, sha256 row invariant,
+manifest metrics, resume-from-checkpoint semantics."""
+
+import hashlib
+import json
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+
+class TestDocIds:
+    def test_dense_and_key_ordered(self, ray_session, small_corpus):
+        import ray.data
+
+        from searchengine_ray.ids import assign_doc_ids
+
+        ds = ray.data.from_arrow(small_corpus).repartition(5)
+        out = assign_doc_ids(ds).to_pandas().sort_values("doc_id")
+        n = len(small_corpus)
+        assert list(out["doc_id"]) == list(range(n))
+        keys = list(zip(out["repo"], out["path"], out["commit"]))
+        assert keys == sorted(keys)
+
+    def test_independent_of_partitioning(self, ray_session, small_corpus):
+        import ray.data
+
+        from searchengine_ray.ids import assign_doc_ids
+
+        a = (
+            assign_doc_ids(ray.data.from_arrow(small_corpus).repartition(2))
+            .to_pandas()
+            .sort_values("path")
+        )
+        b = (
+            assign_doc_ids(ray.data.from_arrow(small_corpus).repartition(9))
+            .to_pandas()
+            .sort_values("path")
+        )
+        assert list(a["doc_id"]) == list(b["doc_id"])
+
+
+class TestBuildArtifacts:
+    def test_manifest_counts(self, built_index, oracle):
+        _, manifest = built_index
+        assert manifest["num_docs"] == oracle.num_docs
+        assert manifest["total_tokens"] == oracle.total_tokens
+
+    def test_sha256_invariant(self, built_index, small_corpus):
+        index_dir, _ = built_index
+        stats = pq.read_table(
+            os.path.join(index_dir, "docstats"), columns=["doc_id", "sha256"]
+        ).to_pylist()
+        rows = small_corpus.to_pylist()
+        rows.sort(key=lambda r: (r["repo"], r["path"], r["commit"]))
+        want = {
+            i: hashlib.sha256(r["content"].encode()).hexdigest()
+            for i, r in enumerate(rows)
+        }
+        assert len(stats) == len(rows)
+        for rec in stats:
+            assert rec["sha256"] == want[rec["doc_id"]]
+
+    def test_heavy_terms_were_salted(self, built_index, engine):
+        _, manifest = built_index
+        # threshold=50 on a 45-word pool over 300 docs must salt something
+        assert manifest["heavy_terms"]
+        term = next(iter(manifest["heavy_terms"]))
+        frags = engine.index.fragments(term)
+        assert len(frags) > 1
+        # fragments are doc-range disjoint and ordered
+        pl = engine.index.get_postings(term)
+        assert all(b > a for a, b in zip(pl.doc_ids, pl.doc_ids[1:]))
+
+    def test_segment_lineage_recorded(self, built_index):
+        index_dir, manifest = built_index
+        for seg in manifest["segments"]:
+            assert os.path.exists(os.path.join(index_dir, "segments", seg["file"]))
+            assert seg["rows"] > 0
+
+
+class TestResume:
+    def test_rerun_skips_completed_stages(
+        self, ray_session, small_corpus, built_index
+    ):
+        import ray.data
+
+        from searchengine_ray.build import IndexBuildConfig, build_index
+
+        index_dir, manifest = built_index
+        cfg = IndexBuildConfig(**{
+            k: (tuple(v) if k == "tokenize_concurrency" else v)
+            for k, v in manifest["config"].items()
+        })
+        before = {
+            f: os.path.getmtime(os.path.join(index_dir, "segments", f))
+            for f in os.listdir(os.path.join(index_dir, "segments"))
+        }
+        ds = ray.data.from_arrow(small_corpus).repartition(4)
+        m2 = build_index(ds, index_dir, cfg, input_description="test300")
+        after = {
+            f: os.path.getmtime(os.path.join(index_dir, "segments", f))
+            for f in os.listdir(os.path.join(index_dir, "segments"))
+        }
+        assert before == after  # nothing rebuilt
+        assert m2["num_docs"] == manifest["num_docs"]
+
+    def test_changed_fingerprint_rebuilds(self, ray_session, tmp_path):
+        import ray.data
+
+        from searchengine_ray.build import IndexBuildConfig, build_index
+        from searchengine_ray.corpus import synthetic_corpus_table
+
+        tbl = synthetic_corpus_table(40, seed=3)
+        d = str(tmp_path / "idx")
+        cfg = IndexBuildConfig(num_buckets=2, tokenize_concurrency=(1, 2))
+        ds = ray.data.from_arrow(tbl)
+        build_index(ds, d, cfg, input_description="v1")
+        marker = json.load(open(os.path.join(d, "_STAGE_docterms.json")))
+        assert "v1" in marker["fingerprint"]
+        build_index(ds, d, cfg, input_description="v2")
+        marker2 = json.load(open(os.path.join(d, "_STAGE_docterms.json")))
+        assert "v2" in marker2["fingerprint"]

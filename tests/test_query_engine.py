@@ -1,0 +1,139 @@
+"""End-to-end query conformance: the distributed index + query engine vs
+the independent in-memory oracle (tests/oracle.py) on a 300-doc corpus.
+
+Covers: Boolean AND/OR/NOT/phrase (J1-J4), ranked tf-idf + BM25 (§2.6),
+WAND-vs-exact rank identity, df/vocabulary/doc-stats parity.
+"""
+
+import numpy as np
+import pytest
+
+from searchengine_ray.porter2 import stem
+
+BOOL_QUERIES = [
+    "search",
+    "search engine",
+    "search + engine",
+    "search -engine",
+    "tokenize index + engine -search",
+    '"search engine"',
+    '"def return"',
+    "running",            # stems to 'run' at parse time
+    "zzznotaterm",
+    'engine "foo bar"',
+]
+
+RANKED_QUERIES = [
+    "search engine",
+    "def return import",
+    "tokenize",
+    "self lambda yield async await",
+    "if else elif while for in",
+    "engine engine engine",
+    "SEARCH Engine",
+    "running",            # T9: not stemmed -> matches nothing
+    "zzznotaterm search",
+]
+
+
+def boolean_oracle(oracle, raw):
+    """Evaluate the surface grammar with set algebra over the oracle."""
+    groups = [g for g in raw.split("+") if g.strip()]
+    result = set()
+    for g in groups:
+        acc = None
+        i, n = 0, len(g)
+        while i < n:
+            if g[i] == " ":
+                i += 1
+                continue
+            neg = False
+            if g[i] == "-":
+                neg = True
+                i += 1
+            from searchengine_ray.tokenizer import process_query_terms
+
+            if i < n and g[i] == '"':
+                end = g.find('"', i + 1)
+                terms = process_query_terms(g[i + 1:end])
+                docs = oracle.docs_with_phrase(terms)
+                i = end + 1
+            else:
+                end = g.find(" ", i)
+                end = n if end < 0 else end
+                word = g[i:end]
+                i = end
+                processed = " ".join(process_query_terms(word))
+                docs = oracle.docs_with_term(processed)
+            if acc is None:
+                # reference quirk: a leading NotQuery's postings are its
+                # child's (andquery.py:15 starts from components[0] as-is)
+                acc = docs
+            else:
+                acc = (acc - docs) if neg else (acc & docs)
+        result |= acc or set()
+    return result
+
+
+class TestBoolean:
+    @pytest.mark.parametrize("q", BOOL_QUERIES)
+    def test_matches_oracle(self, engine, oracle, q):
+        got = set(int(d) for d in engine.boolean_query(q))
+        want = boolean_oracle(oracle, q)
+        assert got == want
+
+    def test_results_sorted(self, engine):
+        docs = engine.boolean_query("search + engine")
+        assert np.all(np.diff(docs) > 0)
+
+
+class TestRanked:
+    @pytest.mark.parametrize("q", RANKED_QUERIES)
+    @pytest.mark.parametrize("use_okapi", [True, False])
+    def test_exact_matches_oracle(self, engine, oracle, q, use_okapi):
+        got = engine.ranked_query(q, use_okapi=use_okapi, top_k=20, use_wand=False)
+        want = oracle.rank(q, use_okapi=use_okapi, top_k=20)
+        assert len(got) == len(want)
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gd == wd
+            assert gs == pytest.approx(ws, rel=1e-12)
+
+    @pytest.mark.parametrize("q", RANKED_QUERIES)
+    def test_wand_identical_to_exact(self, engine, q):
+        exact = engine.ranked_query(q, use_okapi=True, top_k=10, use_wand=False)
+        wand = engine.ranked_query(q, use_okapi=True, top_k=10, use_wand=True)
+        assert len(exact) == len(wand)
+        for (ed, es), (wd, ws) in zip(exact, wand):
+            assert ed == wd
+            assert es == pytest.approx(ws, abs=1e-9)
+
+    def test_returns_all_when_no_topk(self, engine, oracle):
+        got = engine.ranked_query("search", use_okapi=True, top_k=None)
+        assert len(got) == len(oracle.rank("search", True))
+
+
+class TestIndexParity:
+    def test_vocabulary(self, engine, oracle):
+        assert engine.index.get_vocabulary() == sorted(oracle.index.keys())
+
+    def test_df_and_cf(self, engine, oracle):
+        for term in ["search", "engine", "def", "import", "run"]:
+            postings = oracle.index.get(term, {})
+            assert engine.index.df(term) == len(postings)
+            assert engine.index.cf(term) == sum(len(v) for v in postings.values())
+
+    def test_doc_stats(self, engine, oracle):
+        for d in range(0, oracle.num_docs, 37):
+            assert engine.index.get_document_length(d) == oracle.doc_length[d]
+            assert engine.index.l_d[d] == pytest.approx(oracle.l_d[d], rel=1e-12)
+        assert engine.index.num_docs == oracle.num_docs
+        assert engine.index.total_tokens == oracle.total_tokens
+        assert engine.index.avg_doc_length == pytest.approx(oracle.avg_doc_length)
+
+    def test_positions_parity(self, engine, oracle):
+        for term in ["search", "engine", "def"]:
+            pl = engine.index.get_postings(term, with_positions=True)
+            want = oracle.index.get(term, {})
+            assert pl.doc_ids.tolist() == sorted(want)
+            for i, d in enumerate(pl.doc_ids.tolist()):
+                assert pl.positions_of(i).tolist() == want[d]

@@ -1,0 +1,49 @@
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from searchengine_ray import vbyte
+
+
+def test_empty():
+    assert vbyte.encode(np.empty(0, dtype=np.uint64)) == b""
+    assert vbyte.decode(b"").size == 0
+
+
+def test_known_values():
+    # 0 -> 0x00; 127 -> 0x7f; 128 -> 0x80 0x01 (little-endian 7-bit groups)
+    assert vbyte.encode(np.array([0], dtype=np.uint64)) == b"\x00"
+    assert vbyte.encode(np.array([127], dtype=np.uint64)) == b"\x7f"
+    assert vbyte.encode(np.array([128], dtype=np.uint64)) == b"\x80\x01"
+
+
+def test_roundtrip_simple():
+    vals = np.array([0, 1, 127, 128, 255, 300, 2**20, 2**40, 2**63], dtype=np.uint64)
+    assert np.array_equal(vbyte.decode(vbyte.encode(vals), count=vals.size), vals)
+
+
+def test_lengths_match_encoding():
+    vals = np.array([0, 127, 128, 2**14 - 1, 2**14, 2**21], dtype=np.uint64)
+    lens = vbyte.encoded_lengths(vals)
+    enc = vbyte.encode(vals)
+    assert int(lens.sum()) == len(enc)
+    # per-value slices decode independently (skip-block independence)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    for i, v in enumerate(vals):
+        piece = enc[starts[i]:ends[i]]
+        assert vbyte.decode(piece, count=1)[0] == v
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63), max_size=200))
+def test_roundtrip_property(values):
+    arr = np.array(values, dtype=np.uint64)
+    out = vbyte.decode(vbyte.encode(arr), count=arr.size)
+    assert np.array_equal(out, arr)
+
+
+def test_count_mismatch_raises():
+    with pytest.raises(ValueError):
+        vbyte.decode(b"\x01\x02", count=3)
