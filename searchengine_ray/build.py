@@ -77,6 +77,7 @@ class IndexBuildConfig:
     title_col: str = "path"
     id_col: str = "doc_id"  # pre-assigned dense id column (None -> assign)
     segment_row_group_size: int = 512
+    analyzer: str = "reference"  # key into tokenizer.ANALYZERS
 
     def to_json(self) -> dict:
         d = asdict(self)
@@ -89,8 +90,11 @@ class TokenizeDocs:
     'stemmer caches on actor pools'), per-batch vector output."""
 
     def __init__(self, config: IndexBuildConfig):
+        from .tokenizer import ANALYZERS
+
         self.cfg = config
         self.cache = TokenTermCache()
+        self.analyze = ANALYZERS[config.analyzer]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -101,7 +105,7 @@ class TokenizeDocs:
         out_doc_id, out_title, out_len, out_ld, out_sha = [], [], [], [], []
         out_terms, out_tftds, out_positions = [], [], []
         for doc_id, title, content in zip(doc_ids, titles, contents):
-            term_pos, doc_length = analyze_document(content, self.cache)
+            term_pos, doc_length = self.analyze(content, self.cache)
             # L_d includes the empty term (spimi.py:72-79,110-117); the
             # index itself never stores it (postionalinvertedindex.py:28).
             l_d = euclidean_weight(len(v) for v in term_pos.values())

@@ -1,0 +1,187 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by actor-pool map_batches stages.
+
+The decode libraries (Pillow, ffmpeg, torchaudio...) are NOT in this
+container, so the actual byte->pixels/samples decode is stubbed: each stage
+has a ``backend`` switch — ``"fake"`` (deterministic, content-derived
+output; default, fully tested) or ``"real"`` (raises NotImplementedError
+with the exact library call to drop in).  Everything Ray-side — schema,
+small-batch sizing for large payloads, per-actor init, output layout — is
+real.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("kind", pa.string()),          # image | audio | video
+        ("payload", pa.binary()),       # opaque encoded bytes
+        ("mime", pa.string()),
+        ("width", pa.int32()),          # -1 when unknown/not applicable
+        ("height", pa.int32()),
+        ("duration_ms", pa.int32()),
+    ]
+)
+
+
+def synthesize_media(ds: ray.data.Dataset, text_col: str = "text",
+                     id_col: str = "doc_id") -> ray.data.Dataset:
+    """Deterministically derive a media table from the documents table
+    (payload = text bytes; dims from content hash) — the test stand-in for
+    reading real image/audio columns."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        kinds, payloads, mimes, ws, hs, durs = [], [], [], [], [], []
+        for t in texts:
+            digest = hashlib.sha256(t.encode()).digest()
+            kind = ["image", "audio", "video"][digest[0] % 3]
+            kinds.append(kind)
+            payloads.append(t.encode())
+            mimes.append(
+                {"image": "image/png", "audio": "audio/wav",
+                 "video": "video/mp4"}[kind]
+            )
+            ws.append(16 + digest[1] % 64 if kind != "audio" else -1)
+            hs.append(16 + digest[2] % 64 if kind != "audio" else -1)
+            durs.append(100 + digest[3] * 10 if kind != "image" else -1)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "kind": pa.array(kinds),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "mime": pa.array(mimes),
+                "width": pa.array(ws, type=pa.int32()),
+                "height": pa.array(hs, type=pa.int32()),
+                "duration_ms": pa.array(durs, type=pa.int32()),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class ImageDecodeResize:
+    """Actor-pool stage: decode image payload -> resize -> feature row.
+
+    Batches must stay SMALL for binary payloads (batch_size<=32 at ~MB
+    payloads) so batch x concurrency fits the worker heap; set via
+    ``media_stage`` below.
+    """
+
+    def __init__(self, target: tuple[int, int] = (32, 32), backend: str = "fake"):
+        self.target = target
+        self.backend = backend
+
+    def _decode(self, payload: bytes, w: int, h: int) -> np.ndarray:
+        if self.backend == "real":
+            raise NotImplementedError(
+                "drop-in: PIL.Image.open(io.BytesIO(payload)).convert('RGB')"
+                ".resize(self.target)"
+            )
+        # deterministic fake: pixels seeded by payload hash
+        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(),
+                              "big")
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(*self.target, 3), dtype=np.uint8)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pay = batch.column("payload").to_pylist()
+        ws = batch.column("width").to_pylist()
+        hs = batch.column("height").to_pylist()
+        feats, means = [], []
+        for p, w, h in zip(pay, ws, hs):
+            img = self._decode(p, w, h)
+            feats.append(img.reshape(-1).tolist())
+            means.append(float(img.mean()))
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "pixels": pa.array(feats, type=pa.list_(pa.uint8())),
+                "mean_intensity": pa.array(means, type=pa.float64()),
+            }
+        )
+
+
+class AudioFeatures:
+    """Actor-pool stage: decode audio payload -> fixed-size feature vector
+    (fake backend: hash-seeded; real backend: torchaudio/librosa MFCC)."""
+
+    def __init__(self, n_features: int = 16, backend: str = "fake"):
+        self.n_features = n_features
+        self.backend = backend
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pay = batch.column("payload").to_pylist()
+        feats = []
+        for p in pay:
+            if self.backend == "real":
+                raise NotImplementedError(
+                    "drop-in: librosa.feature.mfcc(y=decode(payload), "
+                    "n_mfcc=self.n_features).mean(axis=1)"
+                )
+            seed = int.from_bytes(
+                hashlib.blake2b(p, digest_size=8).digest(), "big")
+            rng = np.random.default_rng(seed)
+            feats.append(rng.standard_normal(self.n_features).tolist())
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "features": pa.array(feats, type=pa.list_(pa.float64())),
+            }
+        )
+
+
+class VideoFrameSample:
+    """Actor-pool stage: sample N frame offsets per video (real backend:
+    ffmpeg seek; fake: deterministic offsets from duration)."""
+
+    def __init__(self, n_frames: int = 4, backend: str = "fake"):
+        self.n_frames = n_frames
+        self.backend = backend
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        durs = batch.column("duration_ms").to_pylist()
+        offs = []
+        for d in durs:
+            if self.backend == "real":
+                raise NotImplementedError(
+                    "drop-in: ffmpeg -ss <off> -i pipe: -frames:v 1 ..."
+                )
+            d = max(int(d), 0)
+            offs.append(
+                [int(d * (i + 0.5) / self.n_frames) for i in range(self.n_frames)]
+            )
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "frame_offsets_ms": pa.array(offs, type=pa.list_(pa.int32())),
+            }
+        )
+
+
+def media_stage(ds: ray.data.Dataset, stage_cls, kind: str,
+                concurrency=(1, 8), batch_size: int = 32,
+                **kwargs) -> ray.data.Dataset:
+    """Filter to one media kind and run its actor-pool stage with
+    payload-appropriate batch sizing."""
+    import pyarrow.compute as pc
+
+    def flt(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch.column("kind"), kind))
+
+    return ds.map_batches(flt, batch_format="pyarrow").map_batches(
+        stage_cls,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -1,0 +1,190 @@
+"""Text-analysis operators: token counting, quality scoring, language ID,
+document fingerprinting.  All are stateless, fully vectorized (or
+per-actor-compiled) ``map_batches`` stages over the ``documents`` table.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+# BPE-ish word/number/punct splitter (GPT-2-style contractions + word
+# classes, public pattern shape): runs of letters, runs of digits, runs of
+# other non-space symbols
+_BPE_RE = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+")
+
+_PUNCT_RE = re.compile(r"[^\w\s]")
+
+# tiny per-language stopword profiles for the n-gram/stopword language
+# heuristic (public common-word lists)
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
+           "on", "with", "as", "this", "was", "are", "be", "at", "by", "or"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "los", "las",
+           "es", "por", "con", "para", "del", "se", "no", "su", "al", "como"},
+    "fr": {"le", "la", "de", "et", "les", "des", "un", "une", "est", "en",
+           "que", "qui", "dans", "pour", "pas", "sur", "au", "avec", "ce",
+           "il"},
+    "de": {"der", "die", "das", "und", "in", "den", "von", "zu", "mit",
+           "ist", "des", "im", "ein", "eine", "auf", "als", "auch", "es",
+           "an", "nicht"},
+}
+
+
+def token_counts(ds: ray.data.Dataset, text_col: str = "text",
+                 id_col: str = "doc_id") -> ray.data.Dataset:
+    """(doc_id, ws_tokens, bpe_tokens): whitespace and BPE-ish counts."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        ws = [len(t.split()) for t in texts]
+        bpe = [len(_BPE_RE.findall(t)) for t in texts]
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "ws_tokens": pa.array(ws, type=pa.int64()),
+                "bpe_tokens": pa.array(bpe, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_scores(ds: ray.data.Dataset, text_col: str = "text",
+                   id_col: str = "doc_id") -> ray.data.Dataset:
+    """Per-doc quality signals: n_chars, n_tokens, mean token length,
+    punctuation ratio, stopword ratio, uppercase ratio, and a composite
+    keep-score in [0,1] (heuristics in the C4/Gopher-rules tradition)."""
+
+    stop = _LANG_PROFILES["en"]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        n = len(texts)
+        n_chars = np.empty(n, dtype=np.int64)
+        n_tokens = np.empty(n, dtype=np.int64)
+        mean_tok = np.empty(n, dtype=np.float64)
+        punct = np.empty(n, dtype=np.float64)
+        stopr = np.empty(n, dtype=np.float64)
+        upper = np.empty(n, dtype=np.float64)
+        for i, t in enumerate(texts):
+            toks = t.split()
+            n_chars[i] = len(t)
+            n_tokens[i] = len(toks)
+            mean_tok[i] = (sum(map(len, toks)) / len(toks)) if toks else 0.0
+            punct[i] = len(_PUNCT_RE.findall(t)) / max(1, len(t))
+            stopr[i] = (sum(1 for w in toks if w.lower() in stop) / len(toks)) if toks else 0.0
+            upper[i] = sum(1 for c in t if c.isupper()) / max(1, len(t))
+        score = (
+            np.clip(n_tokens / 50.0, 0, 1) * 0.3
+            + np.clip((mean_tok - 1.0) / 9.0, 0, 1) * 0.2
+            + (1.0 - np.clip(punct * 4.0, 0, 1)) * 0.2
+            + np.clip(stopr * 4.0, 0, 1) * 0.2
+            + (1.0 - np.clip(upper * 5.0, 0, 1)) * 0.1
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_chars": pa.array(n_chars),
+                "n_tokens": pa.array(n_tokens),
+                "mean_token_len": pa.array(mean_tok),
+                "punct_ratio": pa.array(punct),
+                "stopword_ratio": pa.array(stopr),
+                "upper_ratio": pa.array(upper),
+                "quality_score": pa.array(score),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def detect_language(ds: ray.data.Dataset, text_col: str = "text",
+                    id_col: str = "doc_id") -> ray.data.Dataset:
+    """Stopword-profile language ID: argmax over per-language stopword hit
+    ratios; 'und' (undetermined) when nothing matches."""
+
+    langs = sorted(_LANG_PROFILES)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        out_lang, out_conf = [], []
+        for t in texts:
+            words = [w.lower() for w in t.split()]
+            if not words:
+                out_lang.append("und")
+                out_conf.append(0.0)
+                continue
+            scores = {
+                lg: sum(1 for w in words if w in _LANG_PROFILES[lg]) / len(words)
+                for lg in langs
+            }
+            best = max(langs, key=lambda lg: (scores[lg], lg))
+            if scores[best] == 0.0:
+                out_lang.append("und")
+                out_conf.append(0.0)
+            else:
+                out_lang.append(best)
+                out_conf.append(scores[best])
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "detected_lang": pa.array(out_lang),
+                "lang_confidence": pa.array(out_conf, type=pa.float64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def fingerprints(ds: ray.data.Dataset, text_col: str = "text",
+                 id_col: str = "doc_id", window: int = 8) -> ray.data.Dataset:
+    """Document fingerprints: md5 of the raw text (exact identity; SQL
+    md5() oracle-able) plus a winnowing-style rolling-hash fingerprint —
+    min of polynomial rolling hashes over ``window``-token windows of the
+    lowercased token stream (robust to local edits)."""
+
+    BASE = np.uint64(1099511628211)
+
+    def rolling_min(tokens: list[str]) -> int:
+        if not tokens:
+            return 0
+        hs = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(),
+                            "big")
+             for w in tokens),
+            dtype=np.uint64, count=len(tokens),
+        )
+        with np.errstate(over="ignore"):  # mod-2^64 wraparound is intended
+            if hs.size < window:
+                acc = np.uint64(0)
+                for h in hs:
+                    acc = acc * BASE + h
+                return int(acc)
+            # polynomial hash of each window, vectorized over windows
+            pows = np.empty(window, dtype=np.uint64)
+            pows[-1] = 1
+            for i in range(window - 2, -1, -1):
+                pows[i] = pows[i + 1] * BASE
+            n_win = hs.size - window + 1
+            idx = np.arange(n_win)[:, None] + np.arange(window)[None, :]
+            wh = (hs[idx] * pows[None, :]).sum(axis=1, dtype=np.uint64)
+            return int(wh.min())
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        rolls = [rolling_min(t.lower().split()) for t in texts]
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "content_md5": pa.array(md5s),
+                "rolling_fingerprint": pa.array(rolls, type=pa.uint64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -138,6 +138,27 @@ def analyze_document(
     return term_positions, doc_length
 
 
+def analyze_document_whitespace(
+    content: str, cache: TokenTermCache | None = None
+) -> tuple[dict[str, list[int]], int]:
+    """Alternative pluggable tokenizer (user-extension surface, SURVEY §2.11):
+    lowercase + any-whitespace split, no cleanup, no stemming — exactly
+    DuckDB's ``regexp_split_to_array(lower(text), '\\s+')``, which makes the
+    whole index + scoring pipeline SQL-oracle-checkable end to end."""
+    term_positions: dict[str, list[int]] = {}
+    position = 0
+    for token in content.lower().split():
+        position += 1
+        term_positions.setdefault(token, []).append(position)
+    return term_positions, position
+
+
+ANALYZERS = {
+    "reference": analyze_document,
+    "whitespace": analyze_document_whitespace,
+}
+
+
 def euclidean_weight(term_freqs: Iterable[int]) -> float:
     """L_d = sqrt(sum over a doc's types of (1 + ln tf)^2)
     (engine/indexing/spimi.py:110-121; the empty term participates)."""
