@@ -72,32 +72,59 @@ class IndexBuildConfig:
     max_salt: int = 64
     skip_block: int = 128
     tokenize_batch_size: int = 64
-    tokenize_concurrency: tuple = (2, 32)
+    # None -> fixed pool of one actor per cluster CPU (a fixed-size pool:
+    # Ray Data's autoscaling pool ramps from min and starves short stages)
+    tokenize_concurrency: tuple | int | None = None
     content_col: str = "content"
     title_col: str = "path"
     id_col: str = "doc_id"  # pre-assigned dense id column (None -> assign)
     segment_row_group_size: int = 512
     analyzer: str = "reference"  # key into tokenizer.ANALYZERS
+    num_reducers: int | None = None  # postings-exchange reduce partitions
 
     def to_json(self) -> dict:
         d = asdict(self)
-        d["tokenize_concurrency"] = list(self.tokenize_concurrency)
+        if isinstance(self.tokenize_concurrency, tuple):
+            d["tokenize_concurrency"] = list(self.tokenize_concurrency)
         return d
+
+    def resolved_concurrency(self):
+        if self.tokenize_concurrency is None:
+            return max(2, int(ray.cluster_resources().get("CPU", 8)))
+        return self.tokenize_concurrency
+
+
+_WORKER_CACHES: dict[str, TokenTermCache] = {}
+
+
+def _worker_cache(analyzer: str) -> TokenTermCache:
+    """Process-global stemmer/token cache.  Ray reuses worker processes
+    across tasks, so a module-level cache gives actor-style state reuse
+    for stateless task pools — without paying actor-pool spin-up (~5s for
+    32 actors, measured) on every short build."""
+    cache = _WORKER_CACHES.get(analyzer)
+    if cache is None:
+        cache = _WORKER_CACHES[analyzer] = TokenTermCache()
+    return cache
 
 
 class TokenizeDocs:
-    """Actor-pool tokenizer: per-actor stemmer/token cache (north-star
-    'stemmer caches on actor pools'), per-batch vector output."""
+    """Tokenizer stage: per-worker stemmer/token cache (the north-star
+    'stemmer cache' stateful stage), per-batch vector output.  Usable both
+    as an actor-pool class and, via ``tokenize_batch_factory``, as a plain
+    task function with process-global cache."""
 
     def __init__(self, config: IndexBuildConfig):
-        from .tokenizer import ANALYZERS
-
         self.cfg = config
-        self.cache = TokenTermCache()
-        self.analyze = ANALYZERS[config.analyzer]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from .tokenizer import ANALYZERS
+
         cfg = self.cfg
+        # resolved HERE (on the worker, not at driver pickle time) so the
+        # cache is the executing process's one, shared across its tasks
+        cache = _worker_cache(cfg.analyzer)
+        analyze = ANALYZERS[cfg.analyzer]
         contents = batch.column(cfg.content_col).to_pylist()
         titles = batch.column(cfg.title_col).to_pylist()
         doc_ids = batch.column(cfg.id_col).to_pylist()
@@ -105,7 +132,7 @@ class TokenizeDocs:
         out_doc_id, out_title, out_len, out_ld, out_sha = [], [], [], [], []
         out_terms, out_tftds, out_positions = [], [], []
         for doc_id, title, content in zip(doc_ids, titles, contents):
-            term_pos, doc_length = self.analyze(content, self.cache)
+            term_pos, doc_length = analyze(content, cache)
             # L_d includes the empty term (spimi.py:72-79,110-117); the
             # index itself never stores it (postionalinvertedindex.py:28).
             l_d = euclidean_weight(len(v) for v in term_pos.values())
@@ -156,20 +183,27 @@ def _explode_factory(cfg: IndexBuildConfig, heavy: dict[str, int]):
         flat_tftds = tftds_col.flatten()
         flat_positions = pos_col.flatten()  # list<int32> per (doc, term)
 
-        term_list = flat_terms.to_pylist()
-        buckets = np.fromiter(
-            (zlib.crc32(t.encode("utf-8")) % B for t in term_list),
-            dtype=np.int64,
-            count=len(term_list),
+        # hash each *distinct* term once (terms repeat heavily in a
+        # corpus); per-row values come from the dictionary codes
+        dic = flat_terms.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        uniq = dic.dictionary.to_pylist()
+        uniq_buckets = np.fromiter(
+            (zlib.crc32(t.encode("utf-8")) % B for t in uniq),
+            dtype=np.int64, count=len(uniq),
         )
+        buckets = uniq_buckets[codes]
         shards = doc_ids // dps
-        salts = np.zeros(len(term_list), dtype=np.int64)
+        salts = np.zeros(codes.size, dtype=np.int64)
         if heavy:
+            uniq_width = np.fromiter(
+                (heavy.get(t, 0) for t in uniq), dtype=np.int64,
+                count=len(uniq),
+            )
+            widths = uniq_width[codes]
             rel = doc_ids - shards * dps
-            for i, t in enumerate(term_list):
-                s_t = heavy.get(t)
-                if s_t:
-                    salts[i] = rel[i] * s_t // dps
+            np.floor_divide(rel * widths, dps, out=salts,
+                            where=widths > 0)
         gkey = (shards * B + buckets) * SALT_WIDTH + salts
         return pa.table(
             {
@@ -217,6 +251,157 @@ def bm25_wdt(tftds: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
     return (BM25_K1 + 1.0) * tf / (
         BM25_K1 * ((1.0 - BM25_B) + BM25_B * (dls / avgdl)) + tf
     )
+
+
+def _pin_arrow_threads() -> None:
+    """Cap Arrow's internal pools inside Ray tasks.  Arrow defaults to one
+    thread per hardware core *per process*; with 32 concurrent single-CPU
+    tasks that is 1024 threads fighting over 32 cores (measured: the
+    postings exchange ran 2.4x slower at 32 CPUs than at 8 until pinned)."""
+    try:
+        if pa.cpu_count() > 2:
+            pa.set_cpu_count(2)
+            pa.set_io_thread_count(2)
+    except (RuntimeError, OSError):
+        pass
+
+
+def _ipc_bytes(tbl: pa.Table) -> bytes:
+    sink = pa.BufferOutputStream()
+    with pa.ipc.new_stream(sink, tbl.schema) as w:
+        w.write_table(tbl)
+    return sink.getvalue().to_pybytes()
+
+
+@ray.remote
+def _map_runs(
+    paths: list[str], cfg: IndexBuildConfig, heavy: dict[str, int],
+    num_reducers: int,
+):
+    """Map side of the postings exchange: one docterms file -> one sorted
+    partial run (Arrow IPC blob) per reduce partition.
+
+    Raw Ray task (not a Dataset op) by design: Ray Data's sort-based
+    groupby materialises an M x M task grid whose fixed scheduling cost
+    *grows* with parallelism — measured 2.8s @ 8 cpus vs 13.6s @ 32 cpus
+    for the identical 50k-doc merge, inverting scaling.  A classic
+    map/reduce exchange with ``num_returns=num_reducers`` is M + P tasks
+    and M x P objects (the information-theoretic minimum for a shuffle),
+    and each reducer fetches only its own partition.
+    """
+    _pin_arrow_threads()
+    pieces: dict[int, list[pa.Table]] = {}
+    for path in paths:
+        tbl = pq.read_table(
+            path,
+            columns=["doc_id", "doc_length", "terms", "tftds", "positions"],
+        )
+        exploded = _explode_factory(cfg, heavy)(tbl).sort_by(
+            [("gkey", "ascending"), ("term", "ascending"),
+             ("doc_id", "ascending")]
+        )
+        gk = _as_array(exploded.column("gkey")).to_numpy(zero_copy_only=False)
+        if not gk.size:
+            continue
+        new = np.ones(gk.size, dtype=bool)
+        new[1:] = gk[1:] != gk[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], gk.size)
+        for s, e in zip(starts, ends):
+            pieces.setdefault(int(gk[s]), []).append(
+                exploded.slice(int(s), int(e - s))
+            )
+    out: list[list[bytes]] = [[] for _ in range(num_reducers)]
+    for gkey, tbls in pieces.items():
+        merged = tbls[0] if len(tbls) == 1 else pa.concat_tables(tbls)
+        out[_reducer_of(gkey, num_reducers)].append(_ipc_bytes(merged))
+    return out if num_reducers > 1 else out[0]
+
+
+def _reducer_of(gkey: int, num_reducers: int) -> int:
+    """Mix before modulo: gkey is (shard*B + bucket)*SALT_WIDTH + salt, so a
+    plain ``gkey % P`` with P dividing SALT_WIDTH=4096 maps every unsalted
+    key to reducer 0 (this serialised the whole merge until fixed)."""
+    return (((gkey * 0x9E3779B97F4A7C15) % (1 << 64)) >> 17) % num_reducers
+
+
+@ray.remote
+def _reduce_runs(
+    cfg: IndexBuildConfig,
+    avgdl: float,
+    out_path: str,
+    *blob_lists: list[bytes],
+):
+    """Reduce side: merge this partition's runs per gkey and write one
+    segment parquet idempotently (tmp + atomic rename).
+
+    Each incoming blob holds exactly one gkey's postings from one map, so
+    grouping is a dict on the blob's first gkey value — no global
+    sort/take over the concatenated (chunked, nested-list) table, which
+    profiled brutally at scale."""
+    _pin_arrow_threads()
+    inner = _merge_group_factory(cfg, avgdl)
+    by_gkey: dict[int, list[pa.Table]] = {}
+    for lst in blob_lists:
+        for b in lst:
+            tbl = pa.ipc.open_stream(b).read_all()
+            if tbl.num_rows:
+                by_gkey.setdefault(
+                    int(tbl.column("gkey")[0].as_py()), []
+                ).append(tbl)
+    if not by_gkey:
+        return None
+    parts = [
+        inner(pa.concat_tables(tbls).combine_chunks())
+        for _, tbls in sorted(by_gkey.items())
+    ]
+    seg = pa.concat_tables(parts)
+    tmp = out_path + ".tmp"
+    pq.write_table(seg, tmp, row_group_size=cfg.segment_row_group_size)
+    os.replace(tmp, out_path)
+    return {"file": os.path.basename(out_path), "rows": seg.num_rows,
+            "terms": seg.num_rows}
+
+
+def build_segments_exchange(
+    docterms_dir: str,
+    segments_dir: str,
+    cfg: IndexBuildConfig,
+    heavy: dict[str, int],
+    avgdl: float,
+    num_reducers: int | None = None,
+) -> list[dict]:
+    """Run the postings exchange over the docterms files."""
+    files = sorted(
+        os.path.join(docterms_dir, f)
+        for f in os.listdir(docterms_dir)
+        if f.endswith(".parquet")
+    )
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    if num_reducers is None:
+        num_reducers = max(8, min(len(files), 2 * cpus))
+    os.makedirs(segments_dir, exist_ok=True)
+    # coarsen maps so the shuffle's M x P object count stays ~linear in
+    # cluster size: M ~= 4 x cpus map tasks regardless of file count
+    n_maps = max(1, min(len(files), 4 * cpus))
+    groups = [files[i::n_maps] for i in range(n_maps)]
+    map_refs = [
+        _map_runs.options(num_returns=num_reducers).remote(
+            g, cfg, heavy, num_reducers
+        )
+        for g in groups
+    ]
+    if num_reducers == 1:
+        map_refs = [[r] for r in map_refs]
+    reduce_refs = [
+        _reduce_runs.remote(
+            cfg, avgdl,
+            os.path.join(segments_dir, f"segment_{r:05d}.parquet"),
+            *[m[r] for m in map_refs],
+        )
+        for r in range(num_reducers)
+    ]
+    return [m for m in ray.get(reduce_refs) if m]
 
 
 def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
@@ -275,7 +460,7 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
         blen = vbyte.encoded_lengths(stream)
         byte_ends = np.cumsum(blen)
         byte_starts = byte_ends - blen
-        encoded = vbyte.encode(stream)
+        encoded = vbyte.encode(stream, blen)
         term_byte_start = byte_starts[2 * run_starts]
         term_byte_end = byte_ends[2 * run_ends - 1]
 
@@ -286,7 +471,7 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
         pos_gap[list_starts] = pos_flat[list_starts]
         pos_blen = vbyte.encoded_lengths(pos_gap)
         pos_byte_ends = np.cumsum(pos_blen)
-        pos_encoded = vbyte.encode(pos_gap)
+        pos_encoded = vbyte.encode(pos_gap, pos_blen)
         # byte range of each term run in pos_blob
         run_pos_start_int = pos_offsets[run_starts]    # first position int
         run_pos_end_int = pos_offsets[run_ends]        # one-past-last int
@@ -396,37 +581,39 @@ def detect_heavy_terms(
     threshold = cfg.heavy_df_threshold
 
     def partial_counts(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        terms_col = _as_array(batch.column("terms"))
-        for t in terms_col.flatten().to_pylist():
-            counts[t] = counts.get(t, 0) + 1
-        if not counts:
-            return pa.table({"term": pa.array([], type=pa.string()),
-                             "n": pa.array([], type=pa.int64())})
+        """Per-block combiner.  Terms with a block-local df below a prorated
+        cut can't reach the global threshold even if present in every block,
+        so only plausible candidates leave the task — the shuffle-free
+        equivalent of a pre-aggregated groupby."""
+        terms_col = _as_array(batch.column("terms")).flatten()
+        arr = terms_col.dictionary_encode()
+        codes = arr.indices.to_numpy(zero_copy_only=False)
+        n_codes = len(arr.dictionary)
+        counts = np.bincount(codes[codes >= 0], minlength=n_codes)
+        keep = np.flatnonzero(counts > 0)
         return pa.table(
-            {"term": pa.array(list(counts)), "n": pa.array(list(counts.values()),
-                                                           type=pa.int64())}
+            {
+                "term": arr.dictionary.take(pa.array(keep)),
+                "n": pa.array(counts[keep], type=pa.int64()),
+            }
         )
 
-    totals = (
-        docterms.select_columns(["terms"])
-        .map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("term")
-        .sum("n")
+    partials = docterms.select_columns(["terms"]).map_batches(
+        partial_counts, batch_format="pyarrow"
     )
-
-    def keep_heavy(batch: pa.Table) -> pa.Table:
-        return batch.filter(
-            pa.compute.greater_equal(batch.column("sum(n)"), threshold)
-        )
-
-    heavy_rows = totals.map_batches(keep_heavy, batch_format="pyarrow").take_all()
+    # driver-side final sum: rows = sum of per-block distinct vocab — small
+    # after combining.  At extreme vocab scale this becomes a tree reduce
+    # (pairwise merge tasks); a groupby shuffle is never needed for a
+    # threshold decision.
+    totals: dict[str, int] = {}
+    for batch in partials.iter_batches(batch_format="pyarrow"):
+        for t, n in zip(batch.column("term").to_pylist(),
+                        batch.column("n").to_pylist()):
+            totals[t] = totals.get(t, 0) + n
     heavy = {}
-    for r in heavy_rows:
-        if not r["term"]:
-            continue
-        width = min(cfg.max_salt, max(2, int(np.ceil(r["sum(n)"] / threshold))))
-        heavy[r["term"]] = width
+    for t, n in totals.items():
+        if t and n >= threshold:
+            heavy[t] = min(cfg.max_salt, max(2, int(np.ceil(n / threshold))))
     return heavy
 
 
@@ -458,12 +645,12 @@ def build_index(
         import shutil
 
         shutil.rmtree(docterms_dir, ignore_errors=True)
+        tokenizer = TokenizeDocs(cfg)  # plain-task stage; cache resolves
+        # per worker process via _worker_cache (state without actor pools)
         corpus.map_batches(
-            TokenizeDocs,
-            fn_constructor_args=(cfg,),
+            lambda batch, _t=tokenizer: _t(batch),
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
-            concurrency=cfg.tokenize_concurrency,
         ).write_parquet(docterms_dir)
         _commit_stage(
             index_dir, "docterms", fingerprint, files=_dir_lineage(docterms_dir)
@@ -497,14 +684,9 @@ def build_index(
 
         heavy = detect_heavy_terms(docterms, cfg)
         shutil.rmtree(segments_dir, ignore_errors=True)
-        exploded = docterms.select_columns(
-            ["doc_id", "doc_length", "terms", "tftds", "positions"]
-        ).map_batches(_explode_factory(cfg, heavy), batch_format="pyarrow")
-        merged = exploded.groupby("gkey").map_groups(
-            _merge_group_factory(cfg, avgdl), batch_format="pyarrow"
-        )
-        merged.write_parquet(
-            segments_dir, row_group_size=cfg.segment_row_group_size
+        build_segments_exchange(
+            docterms_dir, segments_dir, cfg, heavy, avgdl,
+            num_reducers=cfg.num_reducers,
         )
         _commit_stage(
             index_dir,

@@ -79,8 +79,15 @@ _WORD_POOL = [
 ]
 
 
-def synthetic_corpus_table(num_rows: int, seed: int = 42) -> pa.Table:
-    """Deterministic synthetic source-code-ish corpus (FIXTURES.md §1)."""
+def synthetic_corpus_table(
+    num_rows: int, seed: int = 42, with_ids: bool = False
+) -> pa.Table:
+    """Deterministic synthetic source-code-ish corpus (FIXTURES.md §1).
+
+    ``with_ids=True`` pre-assigns the dense ``doc_id`` = rank by
+    (repo, path, commit) — byte-identical to what ``ids.assign_doc_ids``
+    would compute, without the distributed exchange (used by the scaling
+    bench, where id assignment is not the stage under test)."""
     rng = np.random.default_rng(seed)
     repos, paths, commits, langs, contents = [], [], [], [], []
     pool = np.array(_WORD_POOL)
@@ -98,7 +105,7 @@ def synthetic_corpus_table(num_rows: int, seed: int = 42) -> pa.Table:
         commits.append(commit)
         langs.append(_LANGS[i % len(_LANGS)])
         contents.append("\n".join(lines))
-    return pa.table(
+    tbl = pa.table(
         {
             "repo": pa.array(repos),
             "path": pa.array(paths),
@@ -107,8 +114,88 @@ def synthetic_corpus_table(num_rows: int, seed: int = 42) -> pa.Table:
             "content": pa.array(contents),
         }
     )
+    if with_ids:
+        order = np.lexsort(
+            (np.asarray(commits, dtype=object),
+             np.asarray(paths, dtype=object),
+             np.asarray(repos, dtype=object))
+        )
+        ids = np.empty(num_rows, dtype=np.int64)
+        ids[order] = np.arange(num_rows)
+        tbl = tbl.append_column("doc_id", pa.array(ids))
+    return tbl
 
 
-def synthetic_corpus(num_rows: int, seed: int = 42, parallelism: int = 8) -> ray.data.Dataset:
-    tbl = synthetic_corpus_table(num_rows, seed)
+def synthetic_corpus(
+    num_rows: int, seed: int = 42, parallelism: int = 8, with_ids: bool = False
+) -> ray.data.Dataset:
+    tbl = synthetic_corpus_table(num_rows, seed, with_ids=with_ids)
     return ray.data.from_arrow(tbl).repartition(parallelism)
+
+
+def _gen_partition(part: int, start: int, end: int, seed: int) -> pa.Table:
+    """One partition of the distributed generator; rng seeded by (seed,
+    part) so content is deterministic for a fixed partition layout."""
+    rng = np.random.default_rng([seed, part])
+    pool = np.array(_WORD_POOL)
+    repos, paths, commits, langs, contents, ids = [], [], [], [], [], []
+    for i in range(start, end):
+        repo = f"org{i % 31}/repo{i % 199}"
+        path = f"src/mod{i % 47}/file_{i}.py"
+        n_lines = int(rng.integers(3, 40))
+        lines = []
+        for _ in range(n_lines):
+            n_words = int(rng.integers(3, 20))
+            lines.append(" ".join(rng.choice(pool, size=n_words)))
+        repos.append(repo)
+        paths.append(path)
+        commits.append(hashlib.sha1(f"{repo}/{path}".encode()).hexdigest())
+        langs.append(_LANGS[i % len(_LANGS)])
+        contents.append("\n".join(lines))
+        ids.append(i)
+    return pa.table(
+        {
+            "repo": pa.array(repos),
+            "path": pa.array(paths),
+            "commit": pa.array(commits),
+            "lang": pa.array(langs),
+            "content": pa.array(contents),
+            # dense deterministic id = global row ordinal (the parquet-file
+            # analogue of the reference's directory-walk enumeration)
+            "doc_id": pa.array(ids, type=pa.int64()),
+        }
+    )
+
+
+def ensure_synthetic_corpus_parquet(
+    out_dir: str, num_rows: int, seed: int = 42, num_files: int = 128
+) -> str:
+    """Generate a deterministic corpus to parquet once (distributed, one
+    task per output file); reused across bench runs if already present."""
+    import os
+
+    marker = os.path.join(out_dir, "_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote
+    def gen(part: int, start: int, end: int) -> int:
+        tbl = _gen_partition(part, start, end, seed)
+        import pyarrow.parquet as pq
+
+        tmp = os.path.join(out_dir, f"part_{part:05d}.parquet.tmp")
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, os.path.join(out_dir, f"part_{part:05d}.parquet"))
+        return end - start
+
+    per = (num_rows + num_files - 1) // num_files
+    refs = [
+        gen.remote(p, p * per, min((p + 1) * per, num_rows))
+        for p in range(num_files)
+        if p * per < num_rows
+    ]
+    ray.get(refs)
+    with open(marker, "w") as f:
+        f.write(str(num_rows))
+    return out_dir

@@ -18,8 +18,6 @@ import numpy as np
 def encoded_lengths(values: np.ndarray) -> np.ndarray:
     """Byte length of each value's VByte encoding (vectorized)."""
     v = values.astype(np.uint64, copy=False)
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    # bit_length via comparisons against powers of 2^7
     lengths = np.ones(v.shape, dtype=np.int64)
     threshold = np.uint64(128)
     work = v.copy()
@@ -29,16 +27,17 @@ def encoded_lengths(values: np.ndarray) -> np.ndarray:
             break
         lengths[mask] += 1
         work[mask] >>= np.uint64(7)
-    del nbits
     return lengths
 
 
-def encode(values: np.ndarray) -> bytes:
-    """VByte-encode an array of non-negative integers."""
+def encode(values: np.ndarray, lengths: np.ndarray | None = None) -> bytes:
+    """VByte-encode an array of non-negative integers.  Pass precomputed
+    ``lengths`` (from ``encoded_lengths``) to avoid recomputing them."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    lengths = encoded_lengths(v)
+    if lengths is None:
+        lengths = encoded_lengths(v)
     total = int(lengths.sum())
     out = np.empty(total, dtype=np.uint8)
     # End offset of each value's byte group; bytes are little-endian within
