@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import struct
 import time
 import zlib
 from dataclasses import dataclass, field, asdict
@@ -162,96 +163,95 @@ class TokenizeDocs:
         )
 
 
-def _explode_factory(cfg: IndexBuildConfig, heavy: dict[str, int]):
-    """docterms batch -> exploded (term, doc_id, dl, tftd, pos_blob, gkey).
+def _explode_arrays(
+    cfg: IndexBuildConfig, heavy: dict[str, int], batch: pa.Table
+) -> dict | None:
+    """docterms table -> flat per-(doc, term) arrays for the exchange.
 
     Positions are VByte-encoded *here*, per row (gaps, first absolute) —
     the encode-early SPIMI move: the dominant column ships through the
     shuffle already in its final on-disk byte form (~4x smaller than raw
     int32 lists), and reducers concatenate blob slices instead of
-    re-encoding millions of position ints."""
+    re-encoding millions of position ints.  Term hashing and lexicographic
+    ranks are computed once per *distinct* term via dictionary codes.
+    """
     from . import vbyte
 
     B = cfg.num_buckets
     dps = cfg.docs_per_shard
 
-    def explode(batch: pa.Table) -> pa.Table:
-        terms_col = _as_array(batch.column("terms"))
-        tftds_col = _as_array(batch.column("tftds"))
-        pos_col = _as_array(batch.column("positions"))
+    terms_col = _as_array(batch.column("terms"))
+    tftds_col = _as_array(batch.column("tftds"))
+    pos_col = _as_array(batch.column("positions"))
 
-        lens = pa.compute.list_value_length(terms_col).to_numpy(zero_copy_only=False)
-        doc_ids = np.repeat(
-            _as_array(batch.column("doc_id")).to_numpy(zero_copy_only=False), lens
-        )
-        dls = np.repeat(
-            _as_array(batch.column("doc_length")).to_numpy(zero_copy_only=False), lens
-        )
-        flat_terms = terms_col.flatten()
-        flat_tftds = tftds_col.flatten()
-        flat_positions = pos_col.flatten()  # list<int32> per (doc, term)
+    lens = pa.compute.list_value_length(terms_col).to_numpy(zero_copy_only=False)
+    doc_ids = np.repeat(
+        _as_array(batch.column("doc_id")).to_numpy(zero_copy_only=False), lens
+    )
+    dls = np.repeat(
+        _as_array(batch.column("doc_length")).to_numpy(zero_copy_only=False),
+        lens,
+    )
+    flat_terms = terms_col.flatten()
+    if len(flat_terms) == 0:
+        return None
+    flat_tftds = tftds_col.flatten()
+    flat_positions = pos_col.flatten()  # list<int32> per (doc, term)
 
-        # hash each *distinct* term once (terms repeat heavily in a
-        # corpus); per-row values come from the dictionary codes
-        dic = flat_terms.dictionary_encode()
-        codes = dic.indices.to_numpy(zero_copy_only=False)
-        uniq = dic.dictionary.to_pylist()
-        uniq_buckets = np.fromiter(
-            (zlib.crc32(t.encode("utf-8")) % B for t in uniq),
-            dtype=np.int64, count=len(uniq),
-        )
-        buckets = uniq_buckets[codes]
-        shards = doc_ids // dps
-        salts = np.zeros(codes.size, dtype=np.int64)
-        if heavy:
-            uniq_width = np.fromiter(
-                (heavy.get(t, 0) for t in uniq), dtype=np.int64,
-                count=len(uniq),
-            )
-            widths = uniq_width[codes]
-            rel = doc_ids - shards * dps
-            np.floor_divide(rel * widths, dps, out=salts,
-                            where=widths > 0)
-        gkey = (shards * B + buckets) * SALT_WIDTH + salts
+    dic = flat_terms.dictionary_encode()
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = np.asarray(dic.dictionary.to_pylist(), dtype=object)
+    uniq_buckets = np.fromiter(
+        (zlib.crc32(t.encode("utf-8")) % B for t in uniq),
+        dtype=np.int64, count=len(uniq),
+    )
+    # lexicographic rank per distinct term: lets every later sort run on
+    # ints (np.lexsort) instead of strings
+    rank_of_uniq = np.empty(len(uniq), dtype=np.int64)
+    rank_of_uniq[np.argsort(uniq, kind="stable")] = np.arange(len(uniq))
 
-        # per-row VByte position blob: gaps within the row's position
-        # list, first position absolute (decoder: reader._segmented_cumsum)
-        pos_flat = flat_positions.flatten().to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        pos_offsets = flat_positions.offsets.to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        pos_offsets = pos_offsets - pos_offsets[0]
-        pos_gap = pos_flat.copy()
-        if pos_flat.size:
-            pos_gap[1:] -= pos_flat[:-1]
-            row_starts = pos_offsets[:-1]
-            pos_gap[row_starts] = pos_flat[row_starts]
-        blen = vbyte.encoded_lengths(pos_gap)
-        encoded = vbyte.encode(pos_gap, blen)
-        cum = np.concatenate(([0], np.cumsum(blen)))
-        row_byte_offsets = cum[pos_offsets]
-        pos_blob = pa.Array.from_buffers(
-            pa.large_binary(), codes.size,
-            [None, pa.py_buffer(row_byte_offsets.astype(np.int64)),
-             pa.py_buffer(encoded)],
+    buckets = uniq_buckets[codes]
+    shards = doc_ids // dps
+    salts = np.zeros(codes.size, dtype=np.int64)
+    if heavy:
+        uniq_width = np.fromiter(
+            (heavy.get(t, 0) for t in uniq), dtype=np.int64, count=len(uniq)
         )
-        return pa.table(
-            {
-                "term": flat_terms,
-                "doc_id": pa.array(doc_ids, type=pa.int64()),
-                "dl": pa.array(dls, type=pa.int64()),
-                "tftd": flat_tftds,
-                "pos_blob": pos_blob,
-                "shard": pa.array(shards, type=pa.int32()),
-                "bucket": pa.array(buckets, type=pa.int32()),
-                "salt": pa.array(salts, type=pa.int32()),
-                "gkey": pa.array(gkey, type=pa.int64()),
-            }
-        )
+        widths = uniq_width[codes]
+        rel = doc_ids - shards * dps
+        np.floor_divide(rel * widths, dps, out=salts, where=widths > 0)
+    gkey = (shards * B + buckets) * SALT_WIDTH + salts
 
-    return explode
+    # per-row VByte position blob: gaps within the row's position list,
+    # first position absolute (decoder: reader._segmented_cumsum)
+    pos_flat = flat_positions.flatten().to_numpy(zero_copy_only=False)
+    pos_offsets = flat_positions.offsets.to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    pos_offsets = pos_offsets - pos_offsets[0]
+    pos_gap = pos_flat.copy()  # stays int32: positions < 2^31
+    if pos_flat.size:
+        pos_gap[1:] -= pos_flat[:-1]
+        row_starts = pos_offsets[:-1]
+        pos_gap[row_starts] = pos_flat[row_starts]
+    blen = vbyte.encoded_lengths(pos_gap)
+    encoded = vbyte.encode(pos_gap, blen)
+    cum = np.concatenate(([0], np.cumsum(blen)))
+    row_byte_offsets = cum[pos_offsets]
+    pos_blob = pa.Array.from_buffers(
+        pa.large_binary(), codes.size,
+        [None, pa.py_buffer(row_byte_offsets.astype(np.int64)),
+         pa.py_buffer(encoded)],
+    )
+    return {
+        "terms": flat_terms,
+        "rank": rank_of_uniq[codes],
+        "doc_ids": doc_ids,
+        "dls": dls,
+        "tftds": flat_tftds.to_numpy(zero_copy_only=False).astype(np.int64),
+        "pos_blob": pos_blob,
+        "gkey": gkey,
+    }
 
 
 _SEGMENT_SCHEMA = pa.schema(
@@ -317,8 +317,8 @@ def _map_runs(
     paths: list[str], cfg: IndexBuildConfig, heavy: dict[str, int],
     num_reducers: int,
 ):
-    """Map side of the postings exchange: one docterms file -> one sorted
-    partial run (Arrow IPC blob) per reduce partition.
+    """Map side of the postings exchange: a group of docterms files -> one
+    lean, sorted partial run per (gkey) routed to its reduce partition.
 
     Raw Ray task (not a Dataset op) by design: Ray Data's sort-based
     groupby materialises an M x M task grid whose fixed scheduling cost
@@ -327,33 +327,58 @@ def _map_runs(
     map/reduce exchange with ``num_returns=num_reducers`` is M + P tasks
     and M x P objects (the information-theoretic minimum for a shuffle),
     and each reducer fetches only its own partition.
+
+    Run blob layout: 8-byte little-endian gkey header + Arrow IPC stream
+    of (term, doc_local:int32, dl:int32, tftd:int32, pos_blob) — the
+    partition key columns are NOT shipped per row (28B/row saved), and
+    doc ids travel as int32 offsets within their shard.
     """
     _pin_arrow_threads()
+    B = cfg.num_buckets
+    dps = cfg.docs_per_shard
     pieces: dict[int, list[pa.Table]] = {}
     for path in paths:
         tbl = pq.read_table(
             path,
             columns=["doc_id", "doc_length", "terms", "tftds", "positions"],
         )
-        exploded = _explode_factory(cfg, heavy)(tbl).sort_by(
-            [("gkey", "ascending"), ("term", "ascending"),
-             ("doc_id", "ascending")]
-        )
-        gk = _as_array(exploded.column("gkey")).to_numpy(zero_copy_only=False)
-        if not gk.size:
+        arrs = _explode_arrays(cfg, heavy, tbl)
+        if arrs is None:
             continue
+        order = np.lexsort((arrs["doc_ids"], arrs["rank"], arrs["gkey"]))
+        gk = arrs["gkey"][order]
+        order_pa = pa.array(order)
+        terms_s = arrs["terms"].take(order_pa)
+        pos_s = arrs["pos_blob"].take(order_pa)
+        doc_s = arrs["doc_ids"][order]
+        dl_s = arrs["dls"][order]
+        tf_s = arrs["tftds"][order]
         new = np.ones(gk.size, dtype=bool)
         new[1:] = gk[1:] != gk[:-1]
         starts = np.flatnonzero(new)
         ends = np.append(starts[1:], gk.size)
-        for s, e in zip(starts, ends):
-            pieces.setdefault(int(gk[s]), []).append(
-                exploded.slice(int(s), int(e - s))
+        for s_, e_ in zip(starts, ends):
+            s_i, e_i = int(s_), int(e_)
+            gkey = int(gk[s_i])
+            shard = gkey // (SALT_WIDTH * B)
+            piece = pa.table(
+                {
+                    "term": terms_s.slice(s_i, e_i - s_i),
+                    "doc_local": pa.array(
+                        (doc_s[s_i:e_i] - shard * dps).astype(np.int32)
+                    ),
+                    "dl": pa.array(dl_s[s_i:e_i].astype(np.int32)),
+                    "tftd": pa.array(tf_s[s_i:e_i].astype(np.int32)),
+                    "pos_blob": pos_s.slice(s_i, e_i - s_i),
+                }
             )
+            pieces.setdefault(gkey, []).append(piece)
     out: list[list[bytes]] = [[] for _ in range(num_reducers)]
     for gkey, tbls in pieces.items():
         merged = tbls[0] if len(tbls) == 1 else pa.concat_tables(tbls)
-        out[_reducer_of(gkey, num_reducers)].append(_ipc_bytes(merged))
+        out[_reducer_of(gkey, num_reducers)].append(
+            struct.pack("<q", gkey) + _ipc_bytes(merged)
+        )
     return out if num_reducers > 1 else out[0]
 
 
@@ -374,25 +399,23 @@ def _reduce_runs(
     """Reduce side: merge this partition's runs per gkey and write one
     segment parquet idempotently (tmp + atomic rename).
 
-    Each incoming blob holds exactly one gkey's postings from one map, so
-    grouping is a dict on the blob's first gkey value — no global
-    sort/take over the concatenated (chunked, nested-list) table, which
-    profiled brutally at scale."""
+    Each incoming blob is one gkey's postings from one map (8-byte gkey
+    header + IPC stream), so grouping is a dict lookup — no global
+    sort/take over a concatenated nested table."""
     _pin_arrow_threads()
     inner = _merge_group_factory(cfg, avgdl)
     by_gkey: dict[int, list[pa.Table]] = {}
     for lst in blob_lists:
         for b in lst:
-            tbl = pa.ipc.open_stream(b).read_all()
+            gkey = struct.unpack_from("<q", b)[0]
+            tbl = pa.ipc.open_stream(b[8:]).read_all()
             if tbl.num_rows:
-                by_gkey.setdefault(
-                    int(tbl.column("gkey")[0].as_py()), []
-                ).append(tbl)
+                by_gkey.setdefault(gkey, []).append(tbl)
     if not by_gkey:
         return None
     parts = [
-        inner(pa.concat_tables(tbls).combine_chunks())
-        for _, tbls in sorted(by_gkey.items())
+        inner(pa.concat_tables(tbls).combine_chunks(), gkey)
+        for gkey, tbls in sorted(by_gkey.items())
     ]
     seg = pa.concat_tables(parts)
     tmp = out_path + ".tmp"
@@ -444,7 +467,8 @@ def build_segments_exchange(
 
 
 def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
-    """One (shard, bucket, salt) group -> encoded posting-list fragments.
+    """One gkey's postings (columns term, doc_local, dl, tftd, pos_blob)
+    -> encoded posting-list fragments.
 
     Encoding (north rule: delta + VByte + block-max skip metadata):
     - ``blob``: VByte stream of interleaved (doc_gap, tftd), 2 ints/posting.
@@ -452,43 +476,66 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
       across skip blocks, so block k decodes independently given
       skip_last_doc[k-1] as its base.
     - ``pos_blob``: VByte stream of position gaps (absolute at each
-      posting's first position, delta inside a posting's list).
+      posting's first position, delta inside a posting's list) — arrives
+      pre-encoded per row from the maps; a term's stream is a pure
+      byte-slice concat.
     - skip arrays, one entry per ``skip_block`` postings: last doc_id,
       max tftd, max BM25 wdt (precomputed against the corpus avgdl so the
       query-time WAND bound is wqt * skip_max_wdt), byte offset into blob.
+
+    All sorting runs on integer arrays (dictionary codes ranked
+    lexicographically), never on strings.
     """
     from . import vbyte
 
     skip_n = cfg.skip_block
+    B = cfg.num_buckets
+    dps = cfg.docs_per_shard
 
-    def merge(group: pa.Table) -> pa.Table:
-        group = group.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+    def merge(group: pa.Table, gkey: int) -> pa.Table:
         n = len(group)
         if n == 0:
             return _SEGMENT_SCHEMA.empty_table()
-        terms = np.asarray(group.column("term").to_pylist(), dtype=object)
-        doc_ids = _as_array(group.column("doc_id")).to_numpy(zero_copy_only=False).astype(np.int64)
-        dls = _as_array(group.column("dl")).to_numpy(zero_copy_only=False).astype(np.int64)
-        tftds = _as_array(group.column("tftd")).to_numpy(zero_copy_only=False).astype(np.int64)
-        pos_arr = _as_array(group.column("pos_blob"))
-        # sorted take() rebuilt the binary array, so its data buffer holds
-        # the per-row blobs contiguous in (term, doc_id) order: a term's
+        salt = gkey % SALT_WIDTH
+        rest = gkey // SALT_WIDTH
+        bucket = rest % B
+        shard = rest // B
+
+        terms_arr = _as_array(group.column("term"))
+        dic = terms_arr.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.asarray(dic.dictionary.to_pylist(), dtype=object)
+        rank_of_uniq = np.empty(len(uniq), dtype=np.int64)
+        rank_of_uniq[np.argsort(uniq, kind="stable")] = np.arange(len(uniq))
+
+        doc_ids = shard * dps + _as_array(
+            group.column("doc_local")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((doc_ids, rank_of_uniq[codes]))
+        codes = codes[order]
+        doc_ids = doc_ids[order]
+        dls = _as_array(group.column("dl")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)[order]
+        tftds = _as_array(group.column("tftd")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)[order]
+        pos_arr = _as_array(group.column("pos_blob")).take(pa.array(order))
+        # take() rebuilt the binary array, so its data buffer holds the
+        # per-row blobs contiguous in (term, doc_id) order: a term's
         # pos_blob is a pure slice, no decode/re-encode
         pos_row_off = np.frombuffer(
             pos_arr.buffers()[1], dtype=np.int64,
             count=len(pos_arr) + 1, offset=8 * pos_arr.offset,
         )
         pos_data = memoryview(pos_arr.buffers()[2])
-        shard = int(group.column("shard")[0].as_py())
-        bucket = int(group.column("bucket")[0].as_py())
-        salt = int(group.column("salt")[0].as_py())
 
         wdts = bm25_wdt(tftds, dls.astype(np.float64), avgdl)
 
-        # term-run boundaries (group is term-sorted)
+        # term-run boundaries (codes are int-sorted by lexicographic rank)
         new_term = np.empty(n, dtype=bool)
         new_term[0] = True
-        new_term[1:] = terms[1:] != terms[:-1]
+        new_term[1:] = codes[1:] != codes[:-1]
         run_starts = np.flatnonzero(new_term)          # posting index
         run_ends = np.append(run_starts[1:], n)
 
@@ -540,9 +587,10 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
             )
             skip_off.append((byte_starts[2 * block_starts] - bs).tolist())
 
+        out_terms = uniq[codes[run_starts]]
         return pa.table(
             {
-                "term": pa.array([str(t) for t in terms[run_starts]]),
+                "term": pa.array([str(t) for t in out_terms]),
                 "shard": pa.array([shard] * n_terms, type=pa.int32()),
                 "salt": pa.array([salt] * n_terms, type=pa.int32()),
                 "bucket": pa.array([bucket] * n_terms, type=pa.int32()),
@@ -623,8 +671,20 @@ def detect_heavy_terms(
             }
         )
 
+    # deterministic file sample: df-threshold detection only steers
+    # salting (a miss means one hot reducer group, not wrong results), so
+    # estimating df from ~1/10 of the files and extrapolating with a 1.5x
+    # safety margin is enough — and keeps this pass O(sample) at any scale
+    all_files = sorted(
+        os.path.join(docterms_dir, f)
+        for f in os.listdir(docterms_dir)
+        if f.endswith(".parquet")
+    )
+    step = max(1, len(all_files) // max(4, len(all_files) // 10))
+    sample_files = all_files[::step] or all_files
+    scale_up = 1.5 * len(all_files) / len(sample_files)
     partials = ray.data.read_parquet(
-        docterms_dir, columns=["terms"]  # pruned at the parquet read
+        sample_files, columns=["terms"]  # pruned at the parquet read
     ).map_batches(partial_counts, batch_format="pyarrow")
     # driver-side final sum, vectorized: rows = sum of per-block distinct
     # vocab — small after combining.  At extreme vocab scale this becomes a
@@ -640,12 +700,13 @@ def detect_heavy_terms(
     ns = all_parts.column("n").to_numpy(zero_copy_only=False)
     sums = np.zeros(len(dic.dictionary), dtype=np.int64)
     np.add.at(sums, codes, ns)
+    est = sums * scale_up  # extrapolate sample -> corpus df estimate
     heavy = {}
-    for i in np.flatnonzero(sums >= threshold):
+    for i in np.flatnonzero(est >= threshold):
         t = dic.dictionary[int(i)].as_py()
         if t:
             heavy[t] = min(
-                cfg.max_salt, max(2, int(np.ceil(sums[i] / threshold)))
+                cfg.max_salt, max(2, int(np.ceil(est[i] / threshold)))
             )
     return heavy
 

@@ -6,8 +6,10 @@ north rule we keep the gap encoding but compress with VByte: each integer is
 written as 1-10 bytes, 7 payload bits per byte, high bit set on continuation
 bytes (little-endian groups; the final byte of each integer has high bit 0).
 
-Both encode and decode are numpy-vectorized — no Python loop over values;
-the decode loop runs at most ``max_bytes_per_value`` (≤10) numpy passes.
+Both encode and decode are numpy-vectorized, with fast paths tuned for the
+posting-gap distribution: most gaps fit one byte, so round k >= 2 of the
+encoder only touches the (rare) values that still need more bytes, and the
+all-one-byte case is a single cast.
 """
 
 from __future__ import annotations
@@ -15,47 +17,72 @@ from __future__ import annotations
 import numpy as np
 
 
+def _as_unsigned(values: np.ndarray) -> np.ndarray:
+    v = np.asarray(values)
+    if v.dtype == np.uint64 or v.dtype == np.uint32:
+        return v
+    if v.dtype == np.int32:
+        return v.view(np.uint32) if v.flags.c_contiguous else v.astype(np.uint32)
+    return v.astype(np.uint64, copy=False)
+
+
 def encoded_lengths(values: np.ndarray) -> np.ndarray:
     """Byte length of each value's VByte encoding (vectorized)."""
-    v = values.astype(np.uint64, copy=False)
+    v = _as_unsigned(values)
     lengths = np.ones(v.shape, dtype=np.int64)
-    threshold = np.uint64(128)
-    work = v.copy()
+    big_idx = np.flatnonzero(v >= 128)
+    if big_idx.size == 0:
+        return lengths
+    work = v[big_idx].astype(np.uint64) >> np.uint64(7)
+    lengths[big_idx] += 1
     while True:
-        mask = work >= threshold
+        mask = work >= 128
         if not mask.any():
             break
-        lengths[mask] += 1
-        work[mask] >>= np.uint64(7)
+        big_idx = big_idx[mask]
+        work = work[mask] >> np.uint64(7)
+        lengths[big_idx] += 1
     return lengths
 
 
 def encode(values: np.ndarray, lengths: np.ndarray | None = None) -> bytes:
     """VByte-encode an array of non-negative integers.  Pass precomputed
     ``lengths`` (from ``encoded_lengths``) to avoid recomputing them."""
-    v = np.ascontiguousarray(values, dtype=np.uint64)
+    v = _as_unsigned(np.ascontiguousarray(values))
     if v.size == 0:
         return b""
     if lengths is None:
         lengths = encoded_lengths(v)
+    max_len = int(lengths.max())
+    if max_len == 1:
+        # every value < 128: the encoding IS the low byte
+        return v.astype(np.uint8).tobytes()
     total = int(lengths.sum())
     out = np.empty(total, dtype=np.uint8)
-    # End offset of each value's byte group; bytes are little-endian within
-    # the group, continuation bit on all but the last byte.
     ends = np.cumsum(lengths)
     starts = ends - lengths
-    work = v.copy()
-    # Round k writes byte k of every value that has at least k+1 bytes.
-    max_len = int(lengths.max())
-    idx = starts.copy()
-    for k in range(max_len):
-        alive = lengths > k
-        byte_vals = (work[alive] & np.uint64(0x7F)).astype(np.uint8)
-        is_last = (lengths[alive] - 1) == k
-        byte_vals = np.where(is_last, byte_vals, byte_vals | np.uint8(0x80))
-        out[idx[alive]] = byte_vals
-        idx[alive] += 1
-        work >>= np.uint64(7)
+    # round 0 writes every value's first byte in one vector op
+    first = (v & v.dtype.type(0x7F)).astype(np.uint8)
+    cont = lengths > 1
+    first[cont] |= np.uint8(0x80)
+    out[starts] = first
+    # later rounds touch only the values still carrying bits (rare for
+    # gap-coded postings)
+    idx = np.flatnonzero(cont)
+    work = v[idx].astype(np.uint64) >> np.uint64(7)
+    pos = starts[idx] + 1
+    remaining = lengths[idx] - 1
+    for _ in range(1, max_len):
+        byte_vals = (work & np.uint64(0x7F)).astype(np.uint8)
+        is_last = remaining == 1
+        byte_vals[~is_last] |= np.uint8(0x80)
+        out[pos] = byte_vals
+        keep = ~is_last
+        if not keep.any():
+            break
+        work = work[keep] >> np.uint64(7)
+        pos = pos[keep] + 1
+        remaining = remaining[keep] - 1
     return out.tobytes()
 
 
@@ -66,6 +93,12 @@ def decode(buf: bytes | memoryview | np.ndarray, count: int | None = None) -> np
         return np.empty(0, dtype=np.uint64)
     is_last = b < 128
     n_values = int(is_last.sum())
+    if n_values == b.size:
+        # pure one-byte stream
+        out = b.astype(np.uint64)
+        if count is not None and n_values != count:
+            raise ValueError(f"expected {count} values, decoded {n_values}")
+        return out
     # group id of each byte = number of terminators before it
     group = np.cumsum(is_last) - is_last  # 0-based group index per byte
     # position of each byte within its group
