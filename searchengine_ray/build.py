@@ -421,8 +421,15 @@ def _reduce_runs(
     tmp = out_path + ".tmp"
     pq.write_table(seg, tmp, row_group_size=cfg.segment_row_group_size)
     os.replace(tmp, out_path)
-    return {"file": os.path.basename(out_path), "rows": seg.num_rows,
-            "terms": seg.num_rows}
+    terms_col = seg.column("term")
+    return {
+        "file": os.path.basename(out_path),
+        "rows": seg.num_rows,
+        "buckets": sorted(set(seg.column("bucket").to_pylist())),
+        "shards": sorted(set(seg.column("shard").to_pylist())),
+        "term_min": pa.compute.min(terms_col).as_py(),
+        "term_max": pa.compute.max(terms_col).as_py(),
+    }
 
 
 def build_segments_exchange(
@@ -770,7 +777,7 @@ def build_index(
             time.perf_counter() - t0 - sum(stage_seconds.values())
         )
         shutil.rmtree(segments_dir, ignore_errors=True)
-        build_segments_exchange(
+        seg_metrics = build_segments_exchange(
             docterms_dir, segments_dir, cfg, heavy, avgdl,
             num_reducers=cfg.num_reducers,
         )
@@ -782,45 +789,24 @@ def build_index(
             "segments",
             fingerprint,
             heavy_terms={t: w for t, w in heavy.items()},
-            files=_dir_lineage(segments_dir),
+            num_docs=n_docs,
+            total_tokens=tot,
+            segment_metrics=seg_metrics,
+            files=[{"file": m["file"], "rows": m["rows"]}
+                   for m in seg_metrics],
         )
 
     # ---- finalize: manifest (commit point) ----
-    stats_tbl = pq.read_table(docterms_dir, columns=["doc_length"])
-    num_docs = stats_tbl.num_rows
-    total_tokens = int(pa.compute.sum(stats_tbl.column("doc_length")).as_py() or 0)
-
-    seg_files = []
-    for name in sorted(os.listdir(segments_dir)):
-        if not name.endswith(".parquet"):
-            continue
-        md = pq.ParquetFile(os.path.join(segments_dir, name))
-        buckets = set()
-        shards = set()
-        tmin, tmax = None, None
-        for rg in range(md.metadata.num_row_groups):
-            rgmd = md.metadata.row_group(rg)
-            for ci in range(rgmd.num_columns):
-                col = rgmd.column(ci)
-                if col.path_in_schema == "bucket" and col.statistics:
-                    buckets.update(
-                        range(col.statistics.min, col.statistics.max + 1)
-                    )
-                if col.path_in_schema == "shard" and col.statistics:
-                    shards.update(range(col.statistics.min, col.statistics.max + 1))
-                if col.path_in_schema == "term" and col.statistics:
-                    lo, hi = col.statistics.min, col.statistics.max
-                    tmin = lo if tmin is None else min(tmin, lo)
-                    tmax = hi if tmax is None else max(tmax, hi)
-        seg_files.append(
-            {
-                "file": name,
-                "rows": md.metadata.num_rows,
-                "buckets": sorted(buckets),
-                "shards": sorted(shards),
-                "term_min": tmin,
-                "term_max": tmax,
-            }
+    with open(os.path.join(index_dir, "_STAGE_segments.json")) as f:
+        seg_marker = json.load(f)
+    seg_files = seg_marker.get("segment_metrics", [])
+    num_docs = seg_marker.get("num_docs")
+    total_tokens = seg_marker.get("total_tokens")
+    if num_docs is None or total_tokens is None:
+        stats_tbl = pq.read_table(docterms_dir, columns=["doc_length"])
+        num_docs = stats_tbl.num_rows
+        total_tokens = int(
+            pa.compute.sum(stats_tbl.column("doc_length")).as_py() or 0
         )
 
     with open(os.path.join(index_dir, "_STAGE_segments.json")) as f:

@@ -1,0 +1,128 @@
+"""Dedup operators over corpora with planted exact and near duplicates."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_table():
+    """12 docs: 0/1/2 exact dups; 3/4 near dups (one word changed);
+    5..9 distinct; 10/11 near dups of each other."""
+    base = ("the quick brown fox jumps over the lazy dog while the cat "
+            "sleeps on the warm windowsill in the afternoon sun light")
+    pair = ("compilers parse tokens into syntax trees then lower them to "
+            "intermediate representation before emitting machine code")
+    texts = [
+        base,                                    # 0
+        base,                                    # 1  exact dup of 0
+        base,                                    # 2  exact dup of 0
+        pair,                                    # 3
+        pair.replace("machine", "native"),       # 4  near dup of 3
+        "completely different content about database internals and btree "
+        "pages with write ahead logging for crash recovery semantics",
+        "rust borrow checker ownership lifetimes move semantics zero cost",
+        "python generators coroutines asyncio event loop scheduling tasks",
+        "linear algebra matrix decomposition eigenvalues singular values",
+        "distributed consensus raft leader election log replication terms",
+        "streaming data pipelines watermark windowing state checkpoints "
+        "exactly once processing guarantees with idempotent sinks retry",
+        "streaming data pipelines watermark windowing state checkpoints "
+        "exactly once processing guarantees with idempotent sinks replay",
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.from_arrow(_docs_table()).repartition(3)
+
+
+class TestExactDedup:
+    def test_keeps_min_id_per_group(self, docs_ds):
+        from searchengine_ray.ops.dedup import exact_dedup
+
+        out = sorted(r["doc_id"] for r in exact_dedup(docs_ds).take_all())
+        assert out == [0, 3, 4, 5, 6, 7, 8, 9, 10, 11]
+
+
+class TestMinHash:
+    def test_near_dups_removed(self, docs_ds):
+        from searchengine_ray.ops.dedup import minhash_lsh_dedup
+
+        out = sorted(
+            r["doc_id"]
+            for r in minhash_lsh_dedup(docs_ds, threshold=0.5).take_all()
+        )
+        assert 0 in out and 1 not in out and 2 not in out
+        assert 3 in out and 4 not in out      # near pair keeps min id
+        assert 10 in out and 11 not in out
+        assert {5, 6, 7, 8, 9} <= set(out)    # distinct docs survive
+
+    def test_jaccard_verifier(self):
+        from searchengine_ray.ops.dedup import ngram_jaccard
+
+        assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
+        assert ngram_jaccard("a b c d e", "v w x y z") == 0.0
+        mid = ngram_jaccard("a b c d e f g h", "a b c d e f g z")
+        assert 0.0 < mid < 1.0
+
+    def test_signature_deterministic_across_actors(self):
+        from searchengine_ray.ops.dedup import MinHasher
+
+        a = MinHasher().signature("hello world foo bar baz")
+        b = MinHasher().signature("hello world foo bar baz")
+        assert np.array_equal(a, b)
+
+
+class TestSimHash:
+    def test_exact_and_near_dups_removed(self, docs_ds):
+        from searchengine_ray.ops.dedup import simhash_dedup
+
+        out = sorted(
+            r["doc_id"]
+            for r in simhash_dedup(docs_ds, max_hamming=6).take_all()
+        )
+        assert 0 in out and 1 not in out and 2 not in out
+        assert {5, 6, 7, 8, 9} <= set(out)
+
+    def test_simhash_similarity_property(self):
+        from searchengine_ray.ops.dedup import SimHasher
+
+        a = SimHasher.simhash("one two three four five six seven eight")
+        b = SimHasher.simhash("one two three four five six seven nine")
+        c = SimHasher.simhash("totally unrelated words appear here now")
+        d_ab = bin(a ^ b).count("1")
+        d_ac = bin(a ^ c).count("1")
+        assert d_ab < d_ac
+
+
+class TestEmbeddingDedup:
+    def test_near_identical_vectors_removed(self, ray_session):
+        import ray.data
+
+        from searchengine_ray.ops.dedup import embedding_dedup
+
+        rng = np.random.default_rng(5)
+        base = rng.standard_normal((8, 16))
+        vecs = list(base) + [base[0] + 1e-4 * rng.standard_normal(16)]
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(9), type=pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(2)
+        out = sorted(
+            r["vec_id"]
+            for r in embedding_dedup(ds, threshold=0.99).take_all()
+        )
+        assert out == list(range(8))  # vec 8 (dup of 0) removed

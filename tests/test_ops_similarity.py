@@ -1,0 +1,84 @@
+"""Similarity search: brute-force exactness vs a numpy oracle, IVF recall."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    n, d = 400, 32
+    vecs = rng.standard_normal((n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], type=pa.list_(pa.float32())
+            ),
+        }
+    )
+    return ray.data.from_arrow(tbl).repartition(5), vecs
+
+
+def _oracle_topk(vecs: np.ndarray, q: np.ndarray, k: int):
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q)
+    # float32 storage round-trip to match the dataset column
+    sims = vn.astype(np.float32).astype(np.float64) @ (
+        qn.astype(np.float64)
+    )
+    order = sorted(range(len(sims)), key=lambda i: (-sims[i], i))[:k]
+    return order
+
+
+class TestBruteForce:
+    def test_matches_numpy_oracle(self, emb):
+        from searchengine_ray.ops.similarity import knn_bruteforce
+
+        ds, vecs = emb
+        queries = vecs[[3, 77]]
+        out = knn_bruteforce(ds, queries, query_ids=[3, 77], k=10)
+        got = {}
+        for r in out.to_pylist():
+            got.setdefault(r["query_id"], []).append(r["vec_id"])
+        for qid in (3, 77):
+            # the dataset stores float32 embeddings; the oracle normalizes
+            # the raw float64 query exactly like knn_bruteforce does
+            vq = vecs[qid]
+            want = _oracle_topk(vecs, vq, 10)
+            assert got[qid][0] == qid  # self-match at rank 1
+            assert set(got[qid]) == set(want)
+
+    def test_scores_sorted_and_ranked(self, emb):
+        from searchengine_ray.ops.similarity import knn_bruteforce
+
+        ds, vecs = emb
+        out = knn_bruteforce(ds, vecs[[0]], k=5).to_pylist()
+        scores = [r["score"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+        assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+
+
+class TestIVF:
+    def test_recall_vs_bruteforce(self, emb):
+        from searchengine_ray.ops.similarity import knn_bruteforce, knn_ivf
+
+        ds, vecs = emb
+        queries = vecs[[5, 123, 250]]
+        qids = [5, 123, 250]
+        exact = knn_bruteforce(ds, queries, qids, k=10).to_pylist()
+        approx = knn_ivf(
+            ds, queries, qids, k=10, n_clusters=8, nprobe=4
+        ).to_pylist()
+        by_q_exact, by_q_approx = {}, {}
+        for r in exact:
+            by_q_exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+        for r in approx:
+            by_q_approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+        recalls = [
+            len(by_q_exact[q] & by_q_approx.get(q, set())) / 10 for q in qids
+        ]
+        assert sum(recalls) / len(recalls) >= 0.6  # nprobe=half the cells
