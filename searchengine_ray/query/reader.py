@@ -62,6 +62,7 @@ class DiskIndexReader:
         self._load_dictionary(buckets)
         self._cache: OrderedDict[tuple[str, bool], PostingList] = OrderedDict()
         self._cache_size = cache_size
+        self._open_files: dict[int, pq.ParquetFile] = {}
 
     # ---- doc stats (ST4/ST5) ----
 
@@ -168,12 +169,19 @@ class DiskIndexReader:
 
     # ---- fragment access ----
 
+    def _parquet_file(self, file_idx: int) -> pq.ParquetFile:
+        pf = self._open_files.get(file_idx)
+        if pf is None:
+            pf = self._open_files[file_idx] = pq.ParquetFile(
+                self._files[file_idx]
+            )
+        return pf
+
     def read_fragment_row(self, fr: Fragment, columns: list[str]) -> dict:
-        path = self._files[fr.file_idx]
         ends = self._row_group_rows[fr.file_idx]
         rg = int(np.searchsorted(ends, fr.row_idx, side="right"))
         offset = fr.row_idx - (int(ends[rg - 1]) if rg else 0)
-        pf = pq.ParquetFile(path)
+        pf = self._parquet_file(fr.file_idx)
         tbl = pf.read_row_group(rg, columns=columns).slice(offset, 1)
         return {c: tbl.column(c)[0].as_py() for c in columns}
 
