@@ -37,10 +37,25 @@ class QueryEngine:
         raw_query: str,
         use_okapi: bool = True,
         top_k: int | None = 10,
-        use_wand: bool = True,
+        use_wand: bool | str = "auto",
+        wand_min_postings: int = 500_000,
     ) -> list[tuple[int, float]]:
-        if use_okapi and use_wand and top_k is not None:
-            return rank_bm25_wand(self.index, raw_query, top_k=top_k)
+        """BM25/tf-idf ranking.  ``use_wand="auto"`` picks block-max WAND
+        only when the query's total candidate postings are large enough
+        for skipping to beat the vectorized term-at-a-time scorer (WAND's
+        document-at-a-time loop is per-posting Python; the exact scorer
+        streams numpy arrays).  Both paths are rank-identical."""
+        if use_okapi and top_k is not None and use_wand:
+            if use_wand == "auto":
+                from .ranked import ranked_query_terms
+
+                total = sum(
+                    self.index.df(t) for t in ranked_query_terms(raw_query)
+                )
+                if total >= wand_min_postings:
+                    return rank_bm25_wand(self.index, raw_query, top_k=top_k)
+            else:
+                return rank_bm25_wand(self.index, raw_query, top_k=top_k)
         return rank_documents_exact(self.index, raw_query, use_okapi, top_k=top_k)
 
     def titles(self, doc_ids) -> list[str]:

@@ -63,6 +63,8 @@ class DiskIndexReader:
         self._cache: OrderedDict[tuple[str, bool], PostingList] = OrderedDict()
         self._cache_size = cache_size
         self._open_files: dict[int, pq.ParquetFile] = {}
+        self._row_cache: OrderedDict[tuple, dict] = OrderedDict()
+        self._row_cache_size = cache_size * 4
 
     # ---- doc stats (ST4/ST5) ----
 
@@ -178,12 +180,21 @@ class DiskIndexReader:
         return pf
 
     def read_fragment_row(self, fr: Fragment, columns: list[str]) -> dict:
+        key = (fr.file_idx, fr.row_idx, tuple(columns))
+        hit = self._row_cache.get(key)
+        if hit is not None:
+            self._row_cache.move_to_end(key)
+            return hit
         ends = self._row_group_rows[fr.file_idx]
         rg = int(np.searchsorted(ends, fr.row_idx, side="right"))
         offset = fr.row_idx - (int(ends[rg - 1]) if rg else 0)
         pf = self._parquet_file(fr.file_idx)
         tbl = pf.read_row_group(rg, columns=columns).slice(offset, 1)
-        return {c: tbl.column(c)[0].as_py() for c in columns}
+        row = {c: tbl.column(c)[0].as_py() for c in columns}
+        if len(self._row_cache) >= self._row_cache_size:
+            self._row_cache.popitem(last=False)
+        self._row_cache[key] = row
+        return row
 
     def _decode_fragment(self, fr: Fragment, with_positions: bool) -> PostingList:
         cols = ["blob", "pos_blob"] if with_positions else ["blob"]
