@@ -406,6 +406,34 @@ def q_sessionize(sf_dir: str) -> pa.Table:
     ).sort_by("user_id")
 
 
+def q_pricing_summary(sf_dir: str) -> pa.Table:
+    """Combiner-first grouped aggregate (TPC-H Q1 shape) over lineitem."""
+    import ray.data
+
+    from searchengine_ray.ops.relational import pricing_summary
+
+    return pricing_summary(
+        ray.data.read_parquet(f"{sf_dir}/lineitem.parquet")
+    )
+
+
+def q_supplier_revenue(sf_dir: str) -> pa.Table:
+    """Broadcast hash join (small side via ray.put) + top-N."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from searchengine_ray.ops.relational import supplier_revenue
+
+    return supplier_revenue(
+        ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        ),
+        pq.read_table(f"{sf_dir}/supplier.parquet"),
+        top_n=10,
+    )
+
+
 def q_media_pipeline(sf_dir: str) -> pa.Table:
     """Multimodal plumbing: synthesize media rows from documents, run the
     image decode/resize actor stage (fake backend), return per-media mean
@@ -477,6 +505,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "events_windowed": q_events_windowed,
         "sessionize": q_sessionize,
+        "pricing_summary": q_pricing_summary,
+        "supplier_revenue": q_supplier_revenue,
         "media_pipeline": q_media_pipeline,
     }
 
@@ -608,6 +638,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS bucket,
                    count(*) AS n_events, round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY event_type, bucket
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax)), 4) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "supplier_revenue": """
+            SELECT s.s_suppkey, s.s_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                       AS revenue
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY s.s_suppkey, s.s_name
+            ORDER BY revenue DESC, s.s_suppkey
+            LIMIT 10
         """,
         "sessionize": """
             WITH gaps AS (
