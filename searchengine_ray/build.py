@@ -336,7 +336,7 @@ def _map_runs(
     _pin_arrow_threads()
     B = cfg.num_buckets
     dps = cfg.docs_per_shard
-    pieces: dict[int, list[pa.Table]] = {}
+    out: list[list[bytes]] = [[] for _ in range(num_reducers)]
     for path in paths:
         tbl = pq.read_table(
             path,
@@ -357,6 +357,10 @@ def _map_runs(
         new[1:] = gk[1:] != gk[:-1]
         starts = np.flatnonzero(new)
         ends = np.append(starts[1:], gk.size)
+        # pack per file (not per task) so each file's exploded arrays can
+        # be freed before the next file is read — slices keep their parent
+        # buffers alive, and holding a whole file group's data made big
+        # maps page-cache hostile at the 2M-doc scale
         for s_, e_ in zip(starts, ends):
             s_i, e_i = int(s_), int(e_)
             gkey = int(gk[s_i])
@@ -372,13 +376,9 @@ def _map_runs(
                     "pos_blob": pos_s.slice(s_i, e_i - s_i),
                 }
             )
-            pieces.setdefault(gkey, []).append(piece)
-    out: list[list[bytes]] = [[] for _ in range(num_reducers)]
-    for gkey, tbls in pieces.items():
-        merged = tbls[0] if len(tbls) == 1 else pa.concat_tables(tbls)
-        out[_reducer_of(gkey, num_reducers)].append(
-            struct.pack("<q", gkey) + _ipc_bytes(merged)
-        )
+            out[_reducer_of(gkey, num_reducers)].append(
+                struct.pack("<q", gkey) + _ipc_bytes(piece)
+            )
     return out if num_reducers > 1 else out[0]
 
 
