@@ -139,7 +139,7 @@ def run_single(num_cpus: int) -> dict:
     return out
 
 
-SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "2000000"))
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "1000000"))
 SCALING_CORPUS_DIR = f"/tmp/bench_scale_corpus_{SCALING_DOCS}"
 
 

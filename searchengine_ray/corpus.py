@@ -133,20 +133,43 @@ def synthetic_corpus(
     return ray.data.from_arrow(tbl).repartition(parallelism)
 
 
+_BIG_POOL: np.ndarray | None = None
+_BIG_CUMW: np.ndarray | None = None
+
+
+def _big_pool() -> tuple[np.ndarray, np.ndarray]:
+    """Zipf-weighted ~20k-term vocabulary (code keywords as the head,
+    synthetic identifiers as the tail) — realistic skew for the index
+    bench: a handful of heavy terms, a long tail, no two-reducer lumps."""
+    global _BIG_POOL, _BIG_CUMW
+    if _BIG_POOL is None:
+        tail = [f"ident_{i:05d}" for i in range(20_000)]
+        pool = np.array(_WORD_POOL + tail, dtype=object)
+        ranks = np.arange(1, pool.size + 1, dtype=np.float64)
+        w = 1.0 / (ranks + 5.0)
+        _BIG_POOL = pool
+        _BIG_CUMW = np.cumsum(w / w.sum())
+    return _BIG_POOL, _BIG_CUMW
+
+
 def _gen_partition(part: int, start: int, end: int, seed: int) -> pa.Table:
     """One partition of the distributed generator; rng seeded by (seed,
     part) so content is deterministic for a fixed partition layout."""
     rng = np.random.default_rng([seed, part])
-    pool = np.array(_WORD_POOL)
+    pool, cumw = _big_pool()
     repos, paths, commits, langs, contents, ids = [], [], [], [], [], []
-    for i in range(start, end):
+    n_rows = end - start
+    words_per_doc = rng.integers(60, 600, size=n_rows)
+    for k, i in enumerate(range(start, end)):
         repo = f"org{i % 31}/repo{i % 199}"
         path = f"src/mod{i % 47}/file_{i}.py"
-        n_lines = int(rng.integers(3, 40))
-        lines = []
-        for _ in range(n_lines):
-            n_words = int(rng.integers(3, 20))
-            lines.append(" ".join(rng.choice(pool, size=n_words)))
+        n_words = int(words_per_doc[k])
+        draws = np.searchsorted(cumw, rng.random(n_words))
+        words = pool[draws]
+        # ~14 words per line
+        lines = [
+            " ".join(words[j:j + 14]) for j in range(0, n_words, 14)
+        ]
         repos.append(repo)
         paths.append(path)
         commits.append(hashlib.sha1(f"{repo}/{path}".encode()).hexdigest())
