@@ -246,7 +246,15 @@ def run_scaling() -> dict:
     tp_lo = results[lo]["files_per_sec"]
     tp_hi = results[hi]["files_per_sec"]
     eff = (tp_hi / tp_lo) / (hi / lo)
+    stages = {}
+    for n in (lo, hi):
+        try:
+            with open(f"/tmp/bench_scale_idx_{n}/manifest.json") as f:
+                stages[f"stages_{n}cpu"] = json.load(f)["stage_seconds"]
+        except (OSError, KeyError):
+            pass
     return {
+        **stages,
         "metric": f"index-build scaling efficiency ({lo} -> {hi} cpus)",
         "value": round(eff, 3),
         "unit": "efficiency",
