@@ -128,11 +128,14 @@ class MinHasher:
         hs = self.shingle(text, self.shingle_k)
         if hs.size == 0:
             return np.zeros(self.num_hashes, dtype=np.uint64)
-        # (a*x + b) mod p over the Mersenne prime, min per hash function
-        x = hs.astype(np.object_)  # python ints: exact 122-bit products
-        vals = (self.a[:, None].astype(np.object_) * x[None, :]
-                + self.b[:, None].astype(np.object_)) % _MERSENNE
-        return np.min(vals, axis=1).astype(np.uint64)
+        # multiply-shift family: odd multiplier, mod-2^64 wraparound.
+        # Vectorizes natively in uint64 (the exact Mersenne modmul needed
+        # object-dtype bigints and was ~10x slower); universality is ample
+        # for MinHash collision estimates.
+        with np.errstate(over="ignore"):
+            vals = (self.a[:, None] | np.uint64(1)) * hs[None, :]
+            vals += self.b[:, None]
+        return vals.min(axis=1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         sigs = [self.signature(t) for t in _text_col(batch, self.text_col)]
