@@ -250,6 +250,8 @@ def _explode_arrays(
     )
     return {
         "terms": flat_terms,
+        "codes": codes,
+        "uniq": uniq,
         "doc_ids": doc_ids,
         "dls": dls,
         "tftds": flat_tftds.to_numpy(zero_copy_only=False).astype(np.int64),
@@ -349,16 +351,17 @@ def _map_runs(
         arrs = _explode_arrays(cfg, heavy, tbl)
         if arrs is None:
             continue
-        # group rows by gkey only — rows are already (doc, term) ordered
-        # from the tokenizer, and the reducer re-sorts per term anyway
-        order = np.argsort(arrs["gkey"], kind="stable")
+        # sort by (gkey, term-code): term-grouped runs let each piece
+        # carry every term ONCE with a run length, instead of one string
+        # per (doc, term) row — the dominant remaining shuffle bytes
+        order = np.lexsort((arrs["codes"], arrs["gkey"]))
         gk = arrs["gkey"][order]
-        order_pa = pa.array(order)
-        terms_s = arrs["terms"].take(order_pa)
-        pos_s = arrs["pos_blob"].take(order_pa)
+        codes_s = arrs["codes"][order]
+        pos_s = arrs["pos_blob"].take(pa.array(order))
         doc_s = arrs["doc_ids"][order]
         dl_s = arrs["dls"][order]
         tf_s = arrs["tftds"][order]
+        uniq = arrs["uniq"]
         new = np.ones(gk.size, dtype=bool)
         new[1:] = gk[1:] != gk[:-1]
         starts = np.flatnonzero(new)
@@ -371,9 +374,22 @@ def _map_runs(
             s_i, e_i = int(s_), int(e_)
             gkey = int(gk[s_i])
             shard = gkey // (SALT_WIDTH * B)
-            piece = pa.table(
+            piece_codes = codes_s[s_i:e_i]
+            run_new = np.ones(piece_codes.size, dtype=bool)
+            run_new[1:] = piece_codes[1:] != piece_codes[:-1]
+            run_starts = np.flatnonzero(run_new)
+            run_lens = np.diff(np.append(run_starts, piece_codes.size))
+            runs_tbl = pa.table(
                 {
-                    "term": terms_s.slice(s_i, e_i - s_i),
+                    "term": pa.array(
+                        [str(t) for t in uniq[piece_codes[run_starts]]],
+                        type=pa.string(),
+                    ),
+                    "n": pa.array(run_lens.astype(np.int32)),
+                }
+            )
+            rows_tbl = pa.table(
+                {
                     "doc_local": pa.array(
                         (doc_s[s_i:e_i] - shard * dps).astype(np.int32)
                     ),
@@ -382,8 +398,10 @@ def _map_runs(
                     "pos_blob": pos_s.slice(s_i, e_i - s_i),
                 }
             )
+            runs_bytes = _ipc_bytes(runs_tbl)
             out[_reducer_of(gkey, num_reducers)].append(
-                struct.pack("<q", gkey) + _ipc_bytes(piece)
+                struct.pack("<qq", gkey, len(runs_bytes))
+                + runs_bytes + _ipc_bytes(rows_tbl)
             )
     return out if num_reducers > 1 else out[0]
 
@@ -405,24 +423,66 @@ def _reduce_runs(
     """Reduce side: merge this partition's runs per gkey and write one
     segment parquet idempotently (tmp + atomic rename).
 
-    Each incoming blob is one gkey's postings from one map (8-byte gkey
-    header + IPC stream), so grouping is a dict lookup — no global
-    sort/take over a concatenated nested table."""
+    Blob layout: gkey (8B) + runs-IPC length (8B) + runs IPC stream
+    (term, n) + rows IPC stream (doc_local, dl, tftd, pos_blob).  Terms
+    are interned into a per-reducer dictionary; per-row term ids come
+    from np.repeat over run lengths — no per-row strings anywhere."""
     _pin_arrow_threads()
     inner = _merge_group_factory(cfg, avgdl)
-    by_gkey: dict[int, list[pa.Table]] = {}
+    by_gkey: dict[int, dict] = {}
     for lst in blob_lists:
         for b in lst:
-            gkey = struct.unpack_from("<q", b)[0]
-            tbl = pa.ipc.open_stream(b[8:]).read_all()
-            if tbl.num_rows:
-                by_gkey.setdefault(gkey, []).append(tbl)
+            gkey, runs_len = struct.unpack_from("<qq", b)
+            runs = pa.ipc.open_stream(b[16:16 + runs_len]).read_all()
+            rows = pa.ipc.open_stream(b[16 + runs_len:]).read_all()
+            if rows.num_rows == 0:
+                continue
+            acc = by_gkey.setdefault(
+                gkey,
+                {"terms": {}, "gids": [], "doc": [], "dl": [],
+                 "tf": [], "pos": []},
+            )
+            interned = acc["terms"]
+            piece_gids = np.empty(runs.num_rows, dtype=np.int64)
+            for i, t in enumerate(runs.column("term").to_pylist()):
+                gid = interned.get(t)
+                if gid is None:
+                    gid = interned[t] = len(interned)
+                piece_gids[i] = gid
+            lens = runs.column("n").to_numpy(zero_copy_only=False)
+            acc["gids"].append(np.repeat(piece_gids, lens))
+            acc["doc"].append(
+                _as_array(rows.column("doc_local")).to_numpy(
+                    zero_copy_only=False)
+            )
+            acc["dl"].append(
+                _as_array(rows.column("dl")).to_numpy(zero_copy_only=False)
+            )
+            acc["tf"].append(
+                _as_array(rows.column("tftd")).to_numpy(zero_copy_only=False)
+            )
+            acc["pos"].append(_as_array(rows.column("pos_blob")))
     if not by_gkey:
         return None
-    parts = [
-        inner(pa.concat_tables(tbls).combine_chunks(), gkey)
-        for gkey, tbls in sorted(by_gkey.items())
-    ]
+    parts = []
+    for gkey, acc in sorted(by_gkey.items()):
+        terms_global = np.empty(len(acc["terms"]), dtype=object)
+        for t, gid in acc["terms"].items():
+            terms_global[gid] = t
+        pos_all = acc["pos"][0] if len(acc["pos"]) == 1 else _as_array(
+            pa.chunked_array(acc["pos"])
+        )
+        parts.append(
+            inner(
+                gkey,
+                terms_global,
+                np.concatenate(acc["gids"]),
+                np.concatenate(acc["doc"]),
+                np.concatenate(acc["dl"]),
+                np.concatenate(acc["tf"]),
+                pos_all,
+            )
+        )
     seg = pa.concat_tables(parts)
     tmp = out_path + ".tmp"
     pq.write_table(seg, tmp, row_group_size=cfg.segment_row_group_size)
@@ -505,8 +565,16 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
     B = cfg.num_buckets
     dps = cfg.docs_per_shard
 
-    def merge(group: pa.Table, gkey: int) -> pa.Table:
-        n = len(group)
+    def merge(
+        gkey: int,
+        terms_global: np.ndarray,
+        gids: np.ndarray,
+        doc_local: np.ndarray,
+        dls32: np.ndarray,
+        tftds32: np.ndarray,
+        pos_arr: pa.Array,
+    ) -> pa.Table:
+        n = gids.size
         if n == 0:
             return _SEGMENT_SCHEMA.empty_table()
         salt = gkey % SALT_WIDTH
@@ -514,26 +582,17 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
         bucket = rest % B
         shard = rest // B
 
-        terms_arr = _as_array(group.column("term"))
-        dic = terms_arr.dictionary_encode()
-        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        uniq = np.asarray(dic.dictionary.to_pylist(), dtype=object)
+        uniq = terms_global
         rank_of_uniq = np.empty(len(uniq), dtype=np.int64)
         rank_of_uniq[np.argsort(uniq, kind="stable")] = np.arange(len(uniq))
 
-        doc_ids = shard * dps + _as_array(
-            group.column("doc_local")
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((doc_ids, rank_of_uniq[codes]))
-        codes = codes[order]
+        doc_ids = shard * dps + doc_local.astype(np.int64)
+        order = np.lexsort((doc_ids, rank_of_uniq[gids]))
+        codes = gids[order]
         doc_ids = doc_ids[order]
-        dls = _as_array(group.column("dl")).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)[order]
-        tftds = _as_array(group.column("tftd")).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)[order]
-        pos_arr = _as_array(group.column("pos_blob")).take(pa.array(order))
+        dls = dls32.astype(np.int64)[order]
+        tftds = tftds32.astype(np.int64)[order]
+        pos_arr = pos_arr.take(pa.array(order))
         # take() rebuilt the binary array, so its data buffer holds the
         # per-row blobs contiguous in (term, doc_id) order: a term's
         # pos_blob is a pure slice, no decode/re-encode
