@@ -518,7 +518,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "index_term_stats": f"""
             WITH {_TOK}
-            SELECT term, count(*) AS df, sum(tf) AS cf
+            SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf
             FROM tf GROUP BY term ORDER BY term
         """,
         "doc_lengths": f"""

@@ -57,7 +57,13 @@ def _as_array(col) -> pa.Array:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
         if isinstance(col, pa.ChunkedArray):
-            col = col.chunk(0) if col.num_chunks else pa.array([], type=col.type)
+            # combine_chunks returns an Array on pyarrow>=16; on versions
+            # where it can still yield a ChunkedArray, concatenate rather
+            # than silently dropping data past the first chunk
+            if col.num_chunks == 0:
+                col = pa.array([], type=col.type)
+            else:
+                col = pa.concat_arrays(col.chunks)
     return col
 
 
@@ -808,6 +814,24 @@ def build_index(
             from .ids import assign_doc_ids
 
             corpus = assign_doc_ids(corpus)
+        else:
+            # the reader indexes num_docs-sized arrays by doc_id: a sparse or
+            # non-zero-based pre-assigned id column would crash at query time,
+            # so validate density up front (one pruned aggregate pass)
+            from ray.data.aggregate import Count, Max, Min
+
+            agg = corpus.select_columns([cfg.id_col]).aggregate(
+                Min(cfg.id_col), Max(cfg.id_col), Count()
+            )
+            lo, hi, n = (agg[f"min({cfg.id_col})"], agg[f"max({cfg.id_col})"],
+                         agg["count()"])
+            if n and (lo != 0 or hi != n - 1):
+                raise ValueError(
+                    f"pre-assigned {cfg.id_col!r} must be dense 0..N-1 "
+                    f"(got min={lo}, max={hi}, rows={n}); drop the column to "
+                    f"have build_index assign ids, or re-assign with "
+                    f"searchengine_ray.ids.assign_doc_ids"
+                )
         import shutil
 
         shutil.rmtree(docterms_dir, ignore_errors=True)

@@ -7,7 +7,11 @@ with the reference's exact result conventions:
 
 - AND keeps the *first* operand's postings for matching docs
   (andquery.py:30-34: ``result.append(first_postings[i])``).
-- AND-NOT emits left postings absent from right (andquery.py:35-37).
+- AND-NOT emits left postings absent from right.  Deliberate deviation:
+  the reference's merge (andquery.py:35-37) stops when the right list
+  exhausts, silently dropping left postings beyond the right list's last
+  doc (left=[1,5,9], right=[2,3] -> reference [1]); we compute the true
+  set difference ([1,5,9]), which is what NOT means.
 - OR dedups by first occurrence (orquery.py:10-20); since our inputs are
   always doc_id-sorted we produce the sorted union keeping the leftmost
   component's posting.

@@ -92,6 +92,8 @@ def decode(buf: bytes | memoryview | np.ndarray, count: int | None = None) -> np
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_last = b < 128
+    if not is_last[-1]:
+        raise ValueError("truncated VByte stream (trailing continuation byte)")
     n_values = int(is_last.sum())
     if n_values == b.size:
         # pure one-byte stream
