@@ -1,0 +1,251 @@
+"""Distributed graph/join primitives shared by the dedup operators.
+
+Replaces round-1's driver-side union-find + ``take_all()`` funnels
+(flagged in VERDICT.md "What's wrong" #2) with:
+
+- ``connected_components``: iterative min-label star contraction over an
+  edge ``Dataset`` — each round is ONE Ray Data groupby; no graph state
+  ever lives on the driver.  Converges in O(log diameter) rounds (dup
+  clusters are near-cliques, so 1-2 rounds in practice), detected by a
+  (count, label-sum) aggregate that strictly decreases until fixpoint.
+- ``write_bucketed``: materialize a keyed side table as hive-partitioned
+  parquet (``jb = id % num_buckets``) so later stages join against it
+  with pruned per-bucket reads instead of re-shuffling it per use.
+- ``attach_bucketed``: per-group hash join against a bucketed side dir
+  (pa.Table.join inside the group task — vectorized, no driver data).
+- ``anti_join_ids``: filter a corpus Dataset against an on-disk sorted
+  drop list with per-batch pruned parquet reads (row-group statistics +
+  an id-range filter) — no corpus shuffle, no driver-held id set, works
+  at any drop-list size and stays resumable.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import ray.data
+
+_EMPTY_EDGES = pa.table(
+    {"u": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.int64())}
+)
+
+
+def scratch_dir(tag: str) -> str:
+    """A fresh scratch directory under /tmp for materialized side tables."""
+    base = os.path.join(tempfile.gettempdir(), "searchengine_ray_ops")
+    os.makedirs(base, exist_ok=True)
+    d = os.path.join(base, f"{tag}_{uuid.uuid4().hex[:12]}")
+    os.makedirs(d)
+    return d
+
+
+def cleanup_dir(d: str) -> None:
+    shutil.rmtree(d, ignore_errors=True)
+
+
+# ------------------------------------------------ connected components ----
+
+def _star_contract(group: pa.Table) -> pa.Table:
+    """One star-contraction step for the neighborhood of node u: every
+    member (and u itself) re-points at the neighborhood minimum.
+
+    Emits a per-group ``chg`` flag (on the first output row) that is 0
+    iff the group is already star-shaped — a leaf whose only neighbor is
+    the component center, or the center itself.  The graph is a global
+    fixpoint exactly when every group is star-shaped, so
+    ``sum(chg) == 0`` is an exact convergence test with no extra round."""
+    u = group.column("u")[0].as_py()
+    vs = np.unique(group.column("v").to_numpy(zero_copy_only=False))
+    m = min(int(vs[0]), u)
+    changed = 0 if (u == m or (len(vs) == 1 and vs[0] == m)) else 1
+    nodes = vs[vs != m] if u == m else np.unique(np.append(vs, u))
+    nodes = nodes[nodes != m]
+    n = len(nodes)
+    # emit both directions so the next round's groupby(u) sees full
+    # neighborhoods again
+    out_u = np.concatenate([nodes, np.full(n, m, dtype=np.int64)])
+    out_v = np.concatenate([np.full(n, m, dtype=np.int64), nodes])
+    chg = np.zeros(2 * n, dtype=np.int64)
+    if n:
+        chg[0] = changed
+    return pa.table(
+        {"u": pa.array(out_u, type=pa.int64()),
+         "v": pa.array(out_v, type=pa.int64()),
+         "chg": pa.array(chg)}
+    )
+
+
+def connected_components(
+    pairs: ray.data.Dataset,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 16,
+) -> ray.data.Dataset:
+    """Labels ``(node, root)`` for every node in ``pairs``; ``root`` is the
+    minimum node id of the component.  Fully distributed: each round is a
+    single ``groupby(u).map_groups`` star contraction; the driver only
+    sees the scalar (edge count, label sum) convergence statistic."""
+
+    def bidir(batch: pa.Table) -> pa.Table:
+        a = batch.column(id_a).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column(id_b).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {"u": pa.array(np.concatenate([a, b])),
+             "v": pa.array(np.concatenate([b, a]))}
+        )
+
+    edges = pairs.map_batches(bidir, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array([], type=pa.int64()),
+                      "root": pa.array([], type=pa.int64())})
+        )
+    for _ in range(max_rounds):
+        edges = edges.groupby("u").map_groups(
+            _star_contract, batch_format="pyarrow"
+        ).materialize()
+        if edges.count() == 0 or int(edges.sum("chg")) == 0:
+            break
+    # at fixpoint each node's root is min(self, neighborhood min)
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": b.column("u"),
+             "root": pc.min_element_wise(b.column("u"), b.column("min(v)"))}
+        )
+
+    return edges.groupby("u").min("v").map_batches(
+        finish, batch_format="pyarrow"
+    )
+
+
+def write_drop_ids(drops: ray.data.Dataset, out_dir: str) -> int:
+    """Write a Dataset with a ``drop_id`` column as sorted parquet;
+    returns the drop count.  Sorting gives row-group min/max statistics
+    so ``anti_join_ids`` batch tasks prune their reads."""
+    drops.sort("drop_id").write_parquet(out_dir)
+    meta = pads.dataset(out_dir, format="parquet")
+    return sum(f.count_rows() for f in meta.get_fragments())
+
+
+def labels_to_drop_dir(labels: ray.data.Dataset, out_dir: str) -> int:
+    """Write the non-root node ids (the rows dedup removes) as a sorted
+    drop list; returns the drop count."""
+
+    def non_roots(batch: pa.Table) -> pa.Table:
+        mask = pc.not_equal(batch.column("node"), batch.column("root"))
+        return pa.table({"drop_id": batch.filter(mask).column("node")})
+
+    return write_drop_ids(
+        labels.map_batches(non_roots, batch_format="pyarrow"), out_dir
+    )
+
+
+def anti_join_ids(
+    ds: ray.data.Dataset, drop_dir: str, id_col: str
+) -> ray.data.Dataset:
+    """Remove rows whose ``id_col`` appears in the drop-list parquet at
+    ``drop_dir``.  Each batch task reads only the drop row-groups whose
+    [min, max] statistics overlap the batch's own id range — the corpus is
+    never shuffled and the drop list is never collected on the driver."""
+
+    def flt(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        ids = batch.column(id_col)
+        lo = pc.min(ids).as_py()
+        hi = pc.max(ids).as_py()
+        dropped = pads.dataset(drop_dir, format="parquet").to_table(
+            filter=(pads.field("drop_id") >= lo) & (pads.field("drop_id") <= hi)
+        )
+        if dropped.num_rows == 0:
+            return batch
+        return batch.filter(
+            pc.invert(pc.is_in(ids, value_set=dropped.column("drop_id")))
+        )
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+# ----------------------------------------------------- bucketed joins ----
+
+def write_bucketed(
+    ds: ray.data.Dataset, id_col: str, out_dir: str, num_buckets: int
+) -> None:
+    """Materialize ``ds`` hive-partitioned by ``jb = id % num_buckets``.
+    One shuffle-free pass; downstream joins read single buckets."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "jb", pa.array((ids % num_buckets).astype(np.int32))
+        )
+
+    ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["jb"]
+    )
+
+
+def read_bucket(
+    bucketed_dir: str, bucket: int, ids: np.ndarray | None = None,
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Read one bucket partition, optionally filtered to specific ids."""
+    part = os.path.join(bucketed_dir, f"jb={bucket}")
+    if not os.path.isdir(part):
+        raise FileNotFoundError(part)
+    flt = None
+    if ids is not None:
+        flt = pads.field(id_col).isin(pa.array(np.unique(ids)))
+    return pq.read_table(part, filters=flt)
+
+
+def attach_bucketed(
+    pairs: ray.data.Dataset,
+    bucketed_dir: str,
+    num_buckets: int,
+    side_id_col: str,
+    value_cols: list[str],
+    group_fn,
+) -> ray.data.Dataset:
+    """Group candidate pairs by the join bucket of ``id_a`` and run
+    ``group_fn(group, lookup)`` per group, where ``lookup(ids)`` returns a
+    pa.Table of the side rows for those ids (reading only the needed
+    bucket partitions, filtered).  ``group_fn`` does the vectorized work
+    (e.g. signature-estimate verification) and returns a pa.Table."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id_a").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "jb", pa.array((ids % num_buckets).astype(np.int32))
+        )
+
+    cols = [side_id_col, *value_cols]
+
+    def run(group: pa.Table) -> pa.Table:
+        group = group.drop_columns(["jb"])
+
+        def lookup(ids: np.ndarray) -> pa.Table:
+            ids = np.unique(np.asarray(ids, dtype=np.int64))
+            parts = []
+            for b in np.unique(ids % num_buckets):
+                parts.append(
+                    read_bucket(bucketed_dir, int(b), ids, side_id_col)
+                    .select(cols)
+                )
+            return pa.concat_tables(parts) if parts else None
+
+        return group_fn(group, lookup)
+
+    return (
+        pairs.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("jb")
+        .map_groups(run, batch_format="pyarrow")
+    )

@@ -103,6 +103,93 @@ class TestSimHash:
         assert d_ab < d_ac
 
 
+class TestMinHashScale:
+    """VERDICT r1 #2 'done' criterion: >=100k synthetic docs with planted
+    dupes, no driver-side pair list anywhere in the implementation."""
+
+    def test_100k_planted_dups(self, ray_session):
+        import ray.data
+
+        from searchengine_ray.ops.dedup import minhash_lsh_dedup
+
+        rng = np.random.default_rng(123)
+        vocab = np.array([f"w{i:04d}" for i in range(2000)])
+        n_base, n_dup = 100_000, 1_000
+        words = vocab[rng.integers(0, len(vocab), size=(n_base, 30))]
+        base_texts = [" ".join(row) for row in words]
+        # planted dups: doc n_base+j duplicates base doc j (even j exact,
+        # odd j with one word swapped -> sig estimate stays >= ~0.8)
+        dup_texts = []
+        for j in range(n_dup):
+            if j % 2 == 0:
+                dup_texts.append(base_texts[j])
+            else:
+                w = words[j].copy()
+                w[5] = "zzchanged"
+                dup_texts.append(" ".join(w))
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(n_base + n_dup), type=pa.int64()),
+                "text": pa.array(base_texts + dup_texts),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(16)
+        out = minhash_lsh_dedup(ds, threshold=0.5)
+        kept = set()
+        for b in out.select_columns(["doc_id"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            kept.update(b.column("doc_id").to_pylist())
+        dup_ids = set(range(n_base, n_base + n_dup))
+        # every planted dup must be dropped, its base doc kept
+        assert not (kept & dup_ids), sorted(kept & dup_ids)[:10]
+        assert set(range(n_dup)) <= kept
+        # distinct random docs essentially all survive (allow a handful of
+        # chance near-dup collisions in 100k random draws)
+        assert len(kept) >= n_base - 10
+
+    def test_mega_bucket_cap_star_fallback(self, ray_session):
+        """A degenerate bucket (300 identical docs) wider than bucket_cap
+        must still dedup to the single min id via the anchor star."""
+        import ray.data
+
+        from searchengine_ray.ops.dedup import minhash_lsh_dedup
+
+        n = 300
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(n), type=pa.int64()),
+                "text": pa.array(["same exact boilerplate text here"] * n),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        out = sorted(
+            r["doc_id"]
+            for r in minhash_lsh_dedup(ds, threshold=0.8,
+                                       bucket_cap=50).take_all()
+        )
+        assert out == [0]
+
+    def test_empty_docs_dedup_together(self, ray_session):
+        import ray.data
+
+        from searchengine_ray.ops.dedup import minhash_lsh_dedup
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+                "text": pa.array(["", "", "real content words here", "   "]),
+            }
+        )
+        out = sorted(
+            r["doc_id"]
+            for r in minhash_lsh_dedup(
+                ray.data.from_arrow(tbl), threshold=0.8
+            ).take_all()
+        )
+        assert out == [0, 2]
+
+
 class TestEmbeddingDedup:
     def test_near_identical_vectors_removed(self, ray_session):
         import ray.data
