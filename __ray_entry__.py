@@ -220,22 +220,36 @@ def q_doc_quality(sf_dir: str) -> pa.Table:
 
 
 def q_quality_full(sf_dir: str) -> pa.Table:
-    """Full quality signals incl. composite score (rows-only check)."""
+    """Full quality signals incl. composite score; floats rounded to 6dp
+    to match the DuckDB oracle's rounding."""
     from searchengine_ray.ops.textstats import quality_scores
 
-    return pa.concat_tables(
+    tbl = pa.concat_tables(
         list(quality_scores(_documents(sf_dir))
              .iter_batches(batch_format="pyarrow"))
     ).sort_by("doc_id")
+    cols = {}
+    for name in tbl.column_names:
+        col = tbl.column(name)
+        if pa.types.is_floating(col.type):
+            col = pa.array(np.round(col.to_numpy(zero_copy_only=False), 6))
+        cols[name] = col
+    return pa.table(cols)
 
 
 def q_detect_language(sf_dir: str) -> pa.Table:
     from searchengine_ray.ops.textstats import detect_language
 
-    return pa.concat_tables(
+    tbl = pa.concat_tables(
         list(detect_language(_documents(sf_dir))
              .iter_batches(batch_format="pyarrow"))
     ).sort_by("doc_id")
+    return tbl.set_column(
+        tbl.schema.get_field_index("lang_confidence"),
+        "lang_confidence",
+        pa.array(np.round(tbl.column("lang_confidence")
+                          .to_numpy(zero_copy_only=False), 6)),
+    )
 
 
 def q_fingerprints(sf_dir: str) -> pa.Table:
@@ -512,10 +526,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from searchengine_ray import oracles
+
     terms_list = ", ".join(f"'{t}'" for t in _BM25_QUERY_TERMS)
     and_a, and_b = _AND_TERMS
     ph_a, ph_b = _PHRASE
     return {
+        # full SQL replays of the dedup / textstats pipelines (same md5
+        # token hashes, folds, minhash family, LSH bands, thresholds and
+        # recursive-CTE connected components) — see searchengine_ray/oracles.py
+        "minhash_dedup": oracles.minhash_dedup_sql(threshold=0.8),
+        "simhash_dedup": oracles.simhash_dedup_sql(max_hamming=2),
+        # driver test tables carry 64-dim embeddings at every sf
+        "embedding_dedup": oracles.embedding_dedup_sql(64, threshold=0.97),
+        "fingerprints_rolling": oracles.fingerprints_rolling_sql(),
+        "quality_full": oracles.quality_full_sql(),
+        "detect_language": oracles.detect_language_sql(),
         "index_term_stats": f"""
             WITH {_TOK}
             SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf

@@ -72,7 +72,7 @@ _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 def popcount64(x: np.ndarray) -> np.ndarray:
     """Vectorized popcount for uint64 arrays of any shape."""
     b = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8)
-    return b.reshape(*x.shape, 8).sum(axis=-1, dtype=np.int64)
+    return _POPCOUNT8[b].reshape(*x.shape, 8).sum(axis=-1, dtype=np.int64)
 
 
 def md5_hash32(token: str) -> int:

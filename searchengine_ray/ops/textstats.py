@@ -141,50 +141,52 @@ def detect_language(ds: ray.data.Dataset, text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def fingerprints(ds: ray.data.Dataset, text_col: str = "text",
-                 id_col: str = "doc_id", window: int = 8) -> ray.data.Dataset:
+class Fingerprinter:
     """Document fingerprints: md5 of the raw text (exact identity; SQL
-    md5() oracle-able) plus a winnowing-style rolling-hash fingerprint —
-    min of polynomial rolling hashes over ``window``-token windows of the
-    lowercased token stream (robust to local edits)."""
+    md5() oracle-able) plus a winnowing-style rolling fingerprint — the
+    min over ``window``-token windows of a mod-2^32 polynomial fold of
+    md5-derived token hashes (robust to local edits).  Docs shorter than
+    the window fold all their tokens; empty docs fingerprint to 0.  The
+    fold reuses dedup.gram_fold, so the whole computation is vectorized
+    AND exactly replayable by the DuckDB oracle (md5 + BIGINT-safe
+    arithmetic + list_reduce)."""
 
-    BASE = np.uint64(1099511628211)
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 window: int = 8):
+        from .dedup import _TokenHashCache, md5_hash32
 
-    def rolling_min(tokens: list[str]) -> int:
-        if not tokens:
-            return 0
-        hs = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(),
-                            "big")
-             for w in tokens),
-            dtype=np.uint64, count=len(tokens),
-        )
-        with np.errstate(over="ignore"):  # mod-2^64 wraparound is intended
-            if hs.size < window:
-                acc = np.uint64(0)
-                for h in hs:
-                    acc = acc * BASE + h
-                return int(acc)
-            # polynomial hash of each window, vectorized over windows
-            pows = np.empty(window, dtype=np.uint64)
-            pows[-1] = 1
-            for i in range(window - 2, -1, -1):
-                pows[i] = pows[i + 1] * BASE
-            n_win = hs.size - window + 1
-            idx = np.arange(n_win)[:, None] + np.arange(window)[None, :]
-            wh = (hs[idx] * pows[None, :]).sum(axis=1, dtype=np.uint64)
-            return int(wh.min())
+        self.text_col = text_col
+        self.id_col = id_col
+        self.window = window
+        self.cache = _TokenHashCache(md5_hash32)
 
-    def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
+    def rolling(self, texts: list[str]) -> np.ndarray:
+        from .dedup import _flat_tokens, gram_fold
+
+        flat, off = _flat_tokens(texts)
+        h = self.cache.hash_all(flat)
+        grams, goff = gram_fold(h, np.diff(off), off, self.window)
+        return np.minimum.reduceat(grams, goff[:-1])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
         md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
-        rolls = [rolling_min(t.lower().split()) for t in texts]
         return pa.table(
             {
-                id_col: batch.column(id_col),
+                self.id_col: batch.column(self.id_col),
                 "content_md5": pa.array(md5s),
-                "rolling_fingerprint": pa.array(rolls, type=pa.uint64()),
+                "rolling_fingerprint": pa.array(self.rolling(texts),
+                                                type=pa.uint64()),
             }
         )
 
-    return ds.map_batches(fn, batch_format="pyarrow")
+
+def fingerprints(ds: ray.data.Dataset, text_col: str = "text",
+                 id_col: str = "doc_id", window: int = 8) -> ray.data.Dataset:
+    return ds.map_batches(
+        Fingerprinter,
+        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col,
+                                   window=window),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
