@@ -20,8 +20,6 @@ the analogue of the reference's rglob order.
 
 from __future__ import annotations
 
-import bisect
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -30,9 +28,16 @@ import ray.data
 DEFAULT_KEY = ("repo", "path", "commit")
 
 
-def _composite_key(batch: pa.Table, key_cols: tuple[str, ...]) -> list[str]:
-    cols = [batch.column(c).to_pylist() for c in key_cols]
-    return ["\x00".join(parts) for parts in zip(*cols)]
+def _composite_key(batch: pa.Table, key_cols: tuple[str, ...]) -> pa.Array:
+    """NUL-joined composite key, vectorized (pc.binary_join_element_wise)."""
+    cols = [batch.column(c) for c in key_cols]
+    if len(cols) == 1:
+        joined = cols[0]
+    else:
+        joined = pc.binary_join_element_wise(*cols, "\x00")
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    return joined
 
 
 def assign_doc_ids(
@@ -53,7 +58,7 @@ def assign_doc_ids(
         keys = _composite_key(batch, key_cols)
         n = max(1, int(len(keys) * sample_rate))
         step = max(1, len(keys) // n)
-        return pa.table({"key": pa.array(keys[::step])})
+        return pa.table({"key": keys.take(np.arange(0, len(keys), step))})
 
     sampled = ds.map_batches(sample_keys, batch_format="pyarrow").take_all()
     keys_sorted = sorted(r["key"] for r in sampled)
@@ -62,11 +67,14 @@ def assign_doc_ids(
         boundaries = sorted(set(keys_sorted[i] for i in idx))
     else:
         boundaries = []
+    boundary_arr = np.array(boundaries, dtype=object)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         keys = _composite_key(batch, key_cols)
-        buckets = np.array([bisect.bisect_right(boundaries, k) for k in keys], dtype=np.int32)
-        return batch.append_column("_key", pa.array(keys)).append_column(
+        keys_np = keys.to_numpy(zero_copy_only=False)
+        buckets = np.searchsorted(boundary_arr, keys_np,
+                                  side="right").astype(np.int32)
+        return batch.append_column("_key", keys).append_column(
             "_bucket", pa.array(buckets)
         )
 

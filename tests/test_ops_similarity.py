@@ -82,3 +82,33 @@ class TestIVF:
             len(by_q_exact[q] & by_q_approx.get(q, set())) / 10 for q in qids
         ]
         assert sum(recalls) / len(recalls) >= 0.6  # nprobe=half the cells
+
+    def test_materialized_index_prunes_reads(self, emb, tmp_path):
+        """VERDICT r1 #4 'done' criterion: the query path must read less
+        than the full dataset (file/byte assertion on the cell layout)."""
+        from searchengine_ray.ops import similarity
+        from searchengine_ray.ops.similarity import build_ivf_index, ivf_query
+
+        ds, vecs = emb
+        index_dir = str(tmp_path / "ivf")
+        meta = build_ivf_index(ds, index_dir, n_clusters=8)
+        assert meta["n_clusters"] == 8
+        out = ivf_query(index_dir, vecs[[5]], query_ids=[5], k=10, nprobe=2)
+        assert len(out) == 10
+        stats = similarity.LAST_IVF_QUERY_STATS
+        assert stats["cells_probed"] == 2
+        assert stats["files_read"] < stats["files_total"]
+        assert 0 < stats["bytes_read"] < stats["bytes_total"]
+
+    def test_index_reused_across_queries(self, emb, tmp_path):
+        from searchengine_ray.ops.similarity import knn_ivf
+
+        ds, vecs = emb
+        index_dir = str(tmp_path / "ivf2")
+        a = knn_ivf(ds, vecs[[1]], [1], k=5, n_clusters=8,
+                    index_dir=index_dir).to_pylist()
+        # second call must reuse the on-disk index (no rebuild) and agree
+        b = knn_ivf(ds, vecs[[1]], [1], k=5, n_clusters=8,
+                    index_dir=index_dir).to_pylist()
+        assert a == b
+        assert a[0]["vec_id"] == 1
