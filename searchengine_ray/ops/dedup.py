@@ -117,6 +117,27 @@ def _flat_tokens(texts: list[str]) -> tuple[list[str], np.ndarray]:
     return list(itertools.chain.from_iterable(toks)), offsets
 
 
+# Process-global hasher instances for plain-task map stages: Ray reuses
+# worker processes, so module state gives actor-style cache reuse without
+# paying actor-pool spin-up (~2-4 s for a short stage; same pattern as
+# build._worker_cache, measured in BASELINE.md §4).
+_GLOBAL_STAGES: dict = {}
+
+
+def stage_task_fn(cls, **kwargs):
+    """A plain map_batches task fn that lazily builds (once per worker
+    process) and reuses a stateful stage instance of ``cls``."""
+    key = (cls.__module__, cls.__qualname__, tuple(sorted(kwargs.items())))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        inst = _GLOBAL_STAGES.get(key)
+        if inst is None:
+            inst = _GLOBAL_STAGES[key] = cls(**kwargs)
+        return inst(batch)
+
+    return fn
+
+
 # ---------------------------------------------------------------- exact ----
 
 def exact_dedup(
@@ -360,9 +381,7 @@ def _finish_dedup(
 ) -> ray.data.Dataset:
     """verified edges -> distributed components -> on-disk drop list ->
     streamed anti-join of the input."""
-    labels = connected_components(verified).materialize()
-    if labels.count() == 0:
-        return ds
+    labels = connected_components(verified)
     drop_dir = scratch_dir(f"{tag}_drop")
     if labels_to_drop_dir(labels, drop_dir) == 0:
         return ds
@@ -380,29 +399,24 @@ def minhash_lsh_dedup(
     seed: int = 1234,
     num_join_buckets: int = 16,
     bucket_cap: int = 256,
-    sig_concurrency=(1, 8),
 ) -> ray.data.Dataset:
     """Near-dup removal: vectorized MinHash signatures -> LSH band shuffle
     (16 B/row) -> distributed signature-estimate verification (matching
     signature fraction >= threshold, the unbiased MinHash Jaccard
     estimator) -> distributed components -> keep the min id per cluster.
 
-    Signatures are materialized once as id-bucketed parquet and re-read by
-    the verification tasks, so neither text nor signatures are ever
-    collected on the driver."""
+    Signatures are materialized once (object store for the band stage,
+    id-bucketed parquet for the verification joins), so neither text nor
+    signatures are ever collected on the driver."""
     assert num_hashes % num_bands == 0
-    sig_dir = scratch_dir("minhash_sigs")
     sigs = ds.map_batches(
-        MinHasher,
-        fn_constructor_kwargs=dict(
-            text_col=text_col, id_col=id_col, num_hashes=num_hashes,
-            shingle_k=shingle_k, seed=seed,
+        stage_task_fn(
+            MinHasher, text_col=text_col, id_col=id_col,
+            num_hashes=num_hashes, shingle_k=shingle_k, seed=seed,
         ),
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=sig_concurrency,
-    )
-    write_bucketed(sigs, id_col, sig_dir, num_join_buckets)
+    ).materialize()
 
     def explode(batch: pa.Table) -> pa.Table:
         sig = _sig_matrix(batch.column("signature"), num_hashes)
@@ -416,8 +430,7 @@ def minhash_lsh_dedup(
         )
 
     pairs = (
-        ray.data.read_parquet(sig_dir, columns=[id_col, "signature"])
-        .map_batches(explode, batch_format="pyarrow")
+        sigs.map_batches(explode, batch_format="pyarrow")
         .groupby("band_key")
         .map_groups(_bucket_pairs_factory(id_col, bucket_cap),
                     batch_format="pyarrow")
@@ -425,6 +438,9 @@ def minhash_lsh_dedup(
     )
     if pairs.count() == 0:
         return ds
+    # materialize the signature store only once candidates exist
+    sig_dir = scratch_dir("minhash_sigs")
+    write_bucketed(sigs, id_col, sig_dir, num_join_buckets)
 
     def verify(group: pa.Table, lookup) -> pa.Table:
         a = group.column("id_a").to_numpy(zero_copy_only=False)
@@ -500,16 +516,13 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bucket_cap: int = 256,
-    sig_concurrency=(1, 8),
 ) -> ray.data.Dataset:
     """Near-dup removal via SimHash: 4x16-bit band shuffle (any pair
     within Hamming distance <= 3 agrees on at least one band), vectorized
     in-bucket Hamming verify, distributed components, min-id survivor."""
     sigs = ds.map_batches(
-        SimHasher,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
+        stage_task_fn(SimHasher, text_col=text_col, id_col=id_col),
         batch_format="pyarrow",
-        concurrency=sig_concurrency,
     )
 
     def explode(batch: pa.Table) -> pa.Table:
@@ -563,6 +576,71 @@ def hyperplanes(dim: int, num_planes: int, seed: int) -> np.ndarray:
     return np.random.default_rng(seed).standard_normal((dim, num_planes))
 
 
+def _unit_matrix(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = len(col[0]) if len(col) else 1
+    return col.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
+
+
+class UnitVectors:
+    """Normalization stage: (id, unit) rows; zero vectors stay zero."""
+
+    def __init__(self, vec_col: str = "embedding", id_col: str = "vec_id"):
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vecs = np.asarray(batch.column(self.vec_col).to_pylist(),
+                          dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+        unit = vecs / np.where(norms == 0, 1.0, norms)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "unit": pa.FixedSizeListArray.from_arrays(
+                    pa.array(unit.reshape(-1), type=pa.float64()),
+                    unit.shape[1],
+                ),
+            }
+        )
+
+
+class HyperplaneBands:
+    """Random-hyperplane LSH band stage over unit vectors; the plane
+    matrix is drawn lazily (seeded, so identical across workers) and
+    cached per worker process."""
+
+    def __init__(self, id_col: str = "vec_id", num_planes: int = 16,
+                 num_bands: int = 4, seed: int = 99):
+        self.id_col = id_col
+        self.num_planes = num_planes
+        self.num_bands = num_bands
+        self.seed = seed
+        self.planes: np.ndarray | None = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        unit = _unit_matrix(batch.column("unit"))
+        if self.planes is None:
+            self.planes = hyperplanes(unit.shape[1], self.num_planes,
+                                      self.seed)
+        ppb = self.num_planes // self.num_bands
+        bits = (unit @ self.planes) > 0
+        pows = 1 << np.arange(ppb, dtype=np.int64)
+        keys = np.empty((len(unit), self.num_bands), dtype=np.int64)
+        for b in range(self.num_bands):
+            chunk = bits[:, b * ppb:(b + 1) * ppb]
+            keys[:, b] = (b << ppb) + chunk @ pows
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "band_key": pa.array(keys.reshape(-1)),
+                self.id_col: pa.array(np.repeat(ids, self.num_bands),
+                                      type=pa.int64()),
+            }
+        )
+
+
 def embedding_dedup(
     ds: ray.data.Dataset,
     vec_col: str = "embedding",
@@ -578,58 +656,18 @@ def embedding_dedup(
     id-bucketed parquet; the random-hyperplane band shuffle carries
     (band_key, id) only; candidate pairs verify exact cosine by re-reading
     the bucketed vectors in-task; distributed components pick survivors."""
-    planes_per_band = num_planes // num_bands
-    unit_dir = scratch_dir("embdedup_units")
-
-    def to_unit(batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
-        norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-        unit = vecs / np.where(norms == 0, 1.0, norms)
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "unit": pa.FixedSizeListArray.from_arrays(
-                    pa.array(unit.reshape(-1), type=pa.float64()),
-                    unit.shape[1],
-                ),
-            }
-        )
-
-    write_bucketed(
-        ds.map_batches(to_unit, batch_format="pyarrow"), id_col, unit_dir,
-        num_join_buckets,
-    )
-
-    class Bands:
-        def __init__(self):
-            self.planes = None
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            col = batch.column("unit")
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            d = len(col[0]) if len(col) else 1
-            unit = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)
-            if self.planes is None:
-                self.planes = hyperplanes(d, num_planes, seed)
-            bits = (unit @ self.planes) > 0
-            pows = (1 << np.arange(planes_per_band, dtype=np.int64))
-            keys = np.empty((len(unit), num_bands), dtype=np.int64)
-            for b in range(num_bands):
-                chunk = bits[:, b * planes_per_band:(b + 1) * planes_per_band]
-                keys[:, b] = (b << planes_per_band) + chunk @ pows
-            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-            return pa.table(
-                {
-                    "band_key": pa.array(keys.reshape(-1)),
-                    id_col: pa.array(np.repeat(ids, num_bands),
-                                     type=pa.int64()),
-                }
-            )
+    units = ds.map_batches(
+        stage_task_fn(UnitVectors, vec_col=vec_col, id_col=id_col),
+        batch_format="pyarrow",
+    ).materialize()
 
     pairs = (
-        ray.data.read_parquet(unit_dir, columns=[id_col, "unit"])
-        .map_batches(Bands, batch_format="pyarrow", concurrency=(1, 4))
+        units.map_batches(
+            stage_task_fn(HyperplaneBands, id_col=id_col,
+                          num_planes=num_planes, num_bands=num_bands,
+                          seed=seed),
+            batch_format="pyarrow",
+        )
         .groupby("band_key")
         .map_groups(_bucket_pairs_factory(id_col, bucket_cap),
                     batch_format="pyarrow")
@@ -637,6 +675,9 @@ def embedding_dedup(
     )
     if pairs.count() == 0:
         return ds
+    # materialize the unit-vector store only once candidates exist
+    unit_dir = scratch_dir("embdedup_units")
+    write_bucketed(units, id_col, unit_dir, num_join_buckets)
 
     def verify(group: pa.Table, lookup) -> pa.Table:
         a = group.column("id_a").to_numpy(zero_copy_only=False)
@@ -646,11 +687,7 @@ def embedding_dedup(
         sid = side.column(id_col).to_numpy(zero_copy_only=False)
         order = np.argsort(sid)
         sid = sid[order]
-        col = side.column("unit")
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        d = len(col[0]) if len(col) else 1
-        unit = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, d)[order]
+        unit = _unit_matrix(side.column("unit"))[order]
         cos = (unit[np.searchsorted(sid, a)]
                * unit[np.searchsorted(sid, b)]).sum(axis=1)
         m = cos >= threshold

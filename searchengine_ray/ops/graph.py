@@ -108,11 +108,14 @@ def connected_components(
             pa.table({"node": pa.array([], type=pa.int64()),
                       "root": pa.array([], type=pa.int64())})
         )
+    from ray.data.aggregate import Count, Sum
+
     for _ in range(max_rounds):
         edges = edges.groupby("u").map_groups(
             _star_contract, batch_format="pyarrow"
         ).materialize()
-        if edges.count() == 0 or int(edges.sum("chg")) == 0:
+        stat = edges.aggregate(Count(), Sum("chg"))
+        if stat["count()"] == 0 or not stat["sum(chg)"]:
             break
     # at fixpoint each node's root is min(self, neighborhood min)
     def finish(b: pa.Table) -> pa.Table:

@@ -183,10 +183,10 @@ class Fingerprinter:
 
 def fingerprints(ds: ray.data.Dataset, text_col: str = "text",
                  id_col: str = "doc_id", window: int = 8) -> ray.data.Dataset:
+    from .dedup import stage_task_fn
+
     return ds.map_batches(
-        Fingerprinter,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col,
-                                   window=window),
+        stage_task_fn(Fingerprinter, text_col=text_col, id_col=id_col,
+                      window=window),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
