@@ -182,7 +182,10 @@ def _explode_arrays(
     shuffle already in its final on-disk byte form (~4x smaller than raw
     int32 lists), and reducers concatenate blob slices instead of
     re-encoding millions of position ints.  Term hashing and lexicographic
-    ranks are computed once per *distinct* term via dictionary codes.
+    ranks are computed once per *distinct* term via dictionary codes —
+    which come straight from the parquet dictionary pages when the caller
+    read with ``read_dictionary`` (no per-term re-hash of the flat string
+    column; that hash was 3/4 of map CPU at the 1M-doc scale).
     """
     from . import vbyte
 
@@ -207,7 +210,10 @@ def _explode_arrays(
     flat_tftds = tftds_col.flatten()
     flat_positions = pos_col.flatten()  # list<int32> per (doc, term)
 
-    dic = flat_terms.dictionary_encode()
+    if isinstance(flat_terms, pa.DictionaryArray):
+        dic = flat_terms
+    else:
+        dic = flat_terms.dictionary_encode()
     codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     uniq = np.asarray(dic.dictionary.to_pylist(), dtype=object)
     # crc32 per distinct term, memoized across files in this worker
@@ -249,11 +255,19 @@ def _explode_arrays(
     encoded = vbyte.encode(pos_gap, blen)
     cum = np.concatenate(([0], np.cumsum(blen)))
     row_byte_offsets = cum[pos_offsets]
-    pos_blob = pa.Array.from_buffers(
-        pa.large_binary(), codes.size,
-        [None, pa.py_buffer(row_byte_offsets.astype(np.int64)),
-         pa.py_buffer(encoded)],
-    )
+    if len(encoded) < (1 << 31):
+        # 32-bit offsets: 4 B/row less through the shuffle than large_binary
+        pos_blob = pa.Array.from_buffers(
+            pa.binary(), codes.size,
+            [None, pa.py_buffer(row_byte_offsets.astype(np.int32)),
+             pa.py_buffer(encoded)],
+        )
+    else:
+        pos_blob = pa.Array.from_buffers(
+            pa.large_binary(), codes.size,
+            [None, pa.py_buffer(row_byte_offsets.astype(np.int64)),
+             pa.py_buffer(encoded)],
+        )
     return {
         "terms": flat_terms,
         "codes": codes,
@@ -297,6 +311,19 @@ def bm25_wdt(tftds: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
     )
 
 
+# wdt < k1+1 = 2.2, so ceil(wdt * 115) fits uint8 (max 253).  The exchange
+# ships this 1-byte upper bound instead of the 4-byte per-row doc length:
+# max_wdt / skip_max_wdt are ONLY WAND pruning bounds (ranked.py:209,244),
+# and a quantized-UP bound keeps block-max WAND exact while cutting both
+# shuffle bytes and the reduce-side float work (exact scorers recompute
+# wdt from tftd + doc stats at query time).
+WDT_QUANT = 115.0
+
+
+def wdt_quantized(tftds: np.ndarray, dls: np.ndarray, avgdl: float) -> np.ndarray:
+    return np.ceil(bm25_wdt(tftds, dls, avgdl) * WDT_QUANT).astype(np.uint8)
+
+
 def _pin_arrow_threads() -> None:
     """Cap Arrow's internal pools inside Ray tasks.  Arrow defaults to one
     thread per hardware core *per process*; with 32 concurrent single-CPU
@@ -310,6 +337,11 @@ def _pin_arrow_threads() -> None:
         pass
 
 
+# Uncompressed IPC, deliberately: LZ4 frames were measured on this box
+# (1M docs, 16 CPUs) to shrink blobs only 28% (gaps/tftd/pos are already
+# VByte-packed) while adding ~400 CPU-s of (de)compression — a net loss,
+# because plasma transfer is a single memcpy per side while the codec adds
+# full extra passes over the data on a memory-bandwidth-starved host.
 _IPC_OPTS = pa.ipc.IpcWriteOptions()
 
 
@@ -324,10 +356,23 @@ def _ipc_bytes(tbl: pa.Table) -> bytes:
     return sink.getvalue().to_pybytes()
 
 
+def _prof_write(kind: str, rec: dict) -> None:
+    """Append a per-task profile record when SE_RAY_PROF points at a dir."""
+    d = os.environ.get("SE_RAY_PROF")
+    if not d:
+        return
+    try:
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, f"{kind}_{os.getpid()}.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    except OSError:
+        pass
+
+
 @ray.remote
 def _map_runs(
     paths: list[str], cfg: IndexBuildConfig, heavy: dict[str, int],
-    num_reducers: int,
+    num_reducers: int, avgdl: float,
 ):
     """Map side of the postings exchange: a group of docterms files -> one
     lean, sorted partial run per (gkey) routed to its reduce partition.
@@ -348,30 +393,49 @@ def _map_runs(
     _pin_arrow_threads()
     B = cfg.num_buckets
     dps = cfg.docs_per_shard
+    prof = {"read": 0.0, "explode": 0.0, "sort": 0.0, "pack": 0.0,
+            "bytes_out": 0, "t0": time.time()}
     out: list[list[bytes]] = [[] for _ in range(num_reducers)]
     for path in paths:
+        t = time.perf_counter()
         tbl = pq.read_table(
             path,
             columns=["doc_id", "doc_length", "terms", "tftds", "positions"],
+            read_dictionary=["terms.list.element"],
         )
+        prof["read"] += time.perf_counter() - t
+        t = time.perf_counter()
         arrs = _explode_arrays(cfg, heavy, tbl)
+        prof["explode"] += time.perf_counter() - t
         if arrs is None:
             continue
         # sort by (gkey, term-code): term-grouped runs let each piece
         # carry every term ONCE with a run length, instead of one string
         # per (doc, term) row — the dominant remaining shuffle bytes
-        order = np.lexsort((arrs["codes"], arrs["gkey"]))
+        t = time.perf_counter()
+        # pack (gkey, code) into one int64 when it fits: a single-key
+        # argsort makes one pass over the keys where lexsort makes two —
+        # real savings on a memory-bandwidth-starved host
+        n_uniq = len(arrs["uniq"])
+        gk_max = int(arrs["gkey"].max()) if arrs["gkey"].size else 0
+        if n_uniq and (gk_max + 1) < (1 << 62) // n_uniq:
+            packed = arrs["gkey"] * n_uniq + arrs["codes"]
+            order = np.argsort(packed, kind="stable")
+        else:
+            order = np.lexsort((arrs["codes"], arrs["gkey"]))
         gk = arrs["gkey"][order]
         codes_s = arrs["codes"][order]
         pos_s = arrs["pos_blob"].take(pa.array(order))
         doc_s = arrs["doc_ids"][order]
-        dl_s = arrs["dls"][order]
+        wq_s = wdt_quantized(arrs["tftds"], arrs["dls"], avgdl)[order]
         tf_s = arrs["tftds"][order]
         uniq = arrs["uniq"]
         new = np.ones(gk.size, dtype=bool)
         new[1:] = gk[1:] != gk[:-1]
         starts = np.flatnonzero(new)
         ends = np.append(starts[1:], gk.size)
+        prof["sort"] += time.perf_counter() - t
+        t = time.perf_counter()
         # pack per file (not per task) so each file's exploded arrays can
         # be freed before the next file is read — slices keep their parent
         # buffers alive, and holding a whole file group's data made big
@@ -399,16 +463,19 @@ def _map_runs(
                     "doc_local": pa.array(
                         (doc_s[s_i:e_i] - shard * dps).astype(np.int32)
                     ),
-                    "dl": pa.array(dl_s[s_i:e_i].astype(np.int32)),
+                    "wq": pa.array(wq_s[s_i:e_i]),
                     "tftd": pa.array(tf_s[s_i:e_i].astype(np.int32)),
                     "pos_blob": pos_s.slice(s_i, e_i - s_i),
                 }
             )
             runs_bytes = _ipc_bytes(runs_tbl)
-            out[_reducer_of(gkey, num_reducers)].append(
-                struct.pack("<qq", gkey, len(runs_bytes))
-                + runs_bytes + _ipc_bytes(rows_tbl)
-            )
+            blob = (struct.pack("<qq", gkey, len(runs_bytes))
+                    + runs_bytes + _ipc_bytes(rows_tbl))
+            prof["bytes_out"] += len(blob)
+            out[_reducer_of(gkey, num_reducers)].append(blob)
+        prof["pack"] += time.perf_counter() - t
+    prof["t1"] = time.time()
+    _prof_write("map", prof)
     return out if num_reducers > 1 else out[0]
 
 
@@ -434,10 +501,14 @@ def _reduce_runs(
     are interned into a per-reducer dictionary; per-row term ids come
     from np.repeat over run lengths — no per-row strings anywhere."""
     _pin_arrow_threads()
+    prof = {"unpack": 0.0, "merge": 0.0, "write": 0.0, "bytes_in": 0,
+            "t0": time.time()}
+    _pt = time.perf_counter()
     inner = _merge_group_factory(cfg, avgdl)
     by_gkey: dict[int, dict] = {}
     for lst in blob_lists:
         for b in lst:
+            prof["bytes_in"] += len(b)
             gkey, runs_len = struct.unpack_from("<qq", b)
             runs = pa.ipc.open_stream(b[16:16 + runs_len]).read_all()
             rows = pa.ipc.open_stream(b[16 + runs_len:]).read_all()
@@ -445,7 +516,7 @@ def _reduce_runs(
                 continue
             acc = by_gkey.setdefault(
                 gkey,
-                {"terms": {}, "gids": [], "doc": [], "dl": [],
+                {"terms": {}, "gids": [], "doc": [], "wq": [],
                  "tf": [], "pos": []},
             )
             interned = acc["terms"]
@@ -461,15 +532,17 @@ def _reduce_runs(
                 _as_array(rows.column("doc_local")).to_numpy(
                     zero_copy_only=False)
             )
-            acc["dl"].append(
-                _as_array(rows.column("dl")).to_numpy(zero_copy_only=False)
+            acc["wq"].append(
+                _as_array(rows.column("wq")).to_numpy(zero_copy_only=False)
             )
             acc["tf"].append(
                 _as_array(rows.column("tftd")).to_numpy(zero_copy_only=False)
             )
             acc["pos"].append(_as_array(rows.column("pos_blob")))
+    prof["unpack"] = time.perf_counter() - _pt
     if not by_gkey:
         return None
+    _pt = time.perf_counter()
     parts = []
     for gkey, acc in sorted(by_gkey.items()):
         terms_global = np.empty(len(acc["terms"]), dtype=object)
@@ -484,15 +557,20 @@ def _reduce_runs(
                 terms_global,
                 np.concatenate(acc["gids"]),
                 np.concatenate(acc["doc"]),
-                np.concatenate(acc["dl"]),
+                np.concatenate(acc["wq"]),
                 np.concatenate(acc["tf"]),
                 pos_all,
             )
         )
     seg = pa.concat_tables(parts)
+    prof["merge"] = time.perf_counter() - _pt
+    _pt = time.perf_counter()
     tmp = out_path + ".tmp"
     pq.write_table(seg, tmp, row_group_size=cfg.segment_row_group_size)
     os.replace(tmp, out_path)
+    prof["write"] = time.perf_counter() - _pt
+    prof["t1"] = time.time()
+    _prof_write("reduce", prof)
     terms_col = seg.column("term")
     return {
         "file": os.path.basename(out_path),
@@ -528,7 +606,7 @@ def build_segments_exchange(
     groups = [files[i::n_maps] for i in range(n_maps)]
     map_refs = [
         _map_runs.options(num_returns=num_reducers).remote(
-            g, cfg, heavy, num_reducers
+            g, cfg, heavy, num_reducers, avgdl
         )
         for g in groups
     ]
@@ -576,7 +654,7 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
         terms_global: np.ndarray,
         gids: np.ndarray,
         doc_local: np.ndarray,
-        dls32: np.ndarray,
+        wq8: np.ndarray,
         tftds32: np.ndarray,
         pos_arr: pa.Array,
     ) -> pa.Table:
@@ -593,22 +671,28 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
         rank_of_uniq[np.argsort(uniq, kind="stable")] = np.arange(len(uniq))
 
         doc_ids = shard * dps + doc_local.astype(np.int64)
-        order = np.lexsort((doc_ids, rank_of_uniq[gids]))
+        ranks = rank_of_uniq[gids]
+        if len(uniq) < (1 << 62) // dps:
+            # single-key packed sort (rank * dps + doc_local): one pass
+            order = np.argsort(ranks * dps + doc_local.astype(np.int64),
+                               kind="stable")
+        else:
+            order = np.lexsort((doc_ids, ranks))
         codes = gids[order]
         doc_ids = doc_ids[order]
-        dls = dls32.astype(np.int64)[order]
+        wq = wq8[order]
         tftds = tftds32.astype(np.int64)[order]
         pos_arr = pos_arr.take(pa.array(order))
         # take() rebuilt the binary array, so its data buffer holds the
         # per-row blobs contiguous in (term, doc_id) order: a term's
         # pos_blob is a pure slice, no decode/re-encode
+        off_width = 8 if pa.types.is_large_binary(pos_arr.type) else 4
         pos_row_off = np.frombuffer(
-            pos_arr.buffers()[1], dtype=np.int64,
-            count=len(pos_arr) + 1, offset=8 * pos_arr.offset,
-        )
+            pos_arr.buffers()[1],
+            dtype=np.int64 if off_width == 8 else np.int32,
+            count=len(pos_arr) + 1, offset=off_width * pos_arr.offset,
+        ).astype(np.int64)
         pos_data = memoryview(pos_arr.buffers()[2])
-
-        wdts = bm25_wdt(tftds, dls.astype(np.float64), avgdl)
 
         # term-run boundaries (codes are int-sorted by lexicographic rank)
         new_term = np.empty(n, dtype=bool)
@@ -639,7 +723,9 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
 
         df = (run_ends - run_starts).astype(np.int64)
         cf = np.add.reduceat(tftds, run_starts).astype(np.int64)
-        max_wdt_per_term = np.maximum.reduceat(wdts, run_starts)
+        max_wdt_per_term = (
+            np.maximum.reduceat(wq, run_starts).astype(np.float64) / WDT_QUANT
+        )
 
         blobs, pos_blobs, skip_last, skip_max_tf, skip_max_w, skip_off = (
             [], [], [], [], [], []
@@ -661,7 +747,8 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
                 np.maximum.reduceat(tftds[s:e], block_starts - s).astype(np.int64).tolist()
             )
             skip_max_w.append(
-                np.maximum.reduceat(wdts[s:e], block_starts - s).tolist()
+                (np.maximum.reduceat(wq[s:e], block_starts - s)
+                 .astype(np.float64) / WDT_QUANT).tolist()
             )
             skip_off.append((byte_starts[2 * block_starts] - bs).tolist())
 

@@ -107,12 +107,13 @@ def spanish_analyzer_available() -> bool:
 
 
 def analyze_document_spanish(content: str, cache=None):
-    """T7 stub: the reference's Spanish path tokenizes + lemmatizes with
+    """T7: Spanish analyzer.  The reference tokenizes + lemmatizes with
     spaCy ``es_core_news_sm`` (engine/text/spanishtokenstream.py:11-21,
-    spanishtokenprocessor.py:9-27).  spaCy is not in this container; the
-    stage raises with the exact drop-in call so the plumbing (analyzer
-    registry, per-actor model state) is real while the model is absent."""
-    raise NotImplementedError(
-        "Spanish analyzer requires spaCy: nlp = spacy.load('es_core_news_sm');"
-        " [tok.lemma_ for tok in nlp(content) if tok.is_alpha]"
-    )
+    spanishtokenprocessor.py:9-27); spaCy is not installable in this
+    container, so the registered implementation is the pure-Python
+    Snowball Spanish stemmer approximation in spanish.py (same alphabetic
+    tokenization, stem instead of lemma — the documented drop-in point
+    for the spaCy model is spanish._normalize)."""
+    from .spanish import analyze_document_spanish as _impl
+
+    return _impl(content, cache)

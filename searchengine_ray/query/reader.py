@@ -108,15 +108,23 @@ class DiskIndexReader:
             )
             self._row_group_rows.append(np.cumsum(rg_rows))
             tbl = pq.read_table(
-                path, columns=["term", "shard", "salt", "df", "cf", "max_wdt"]
+                path,
+                columns=["term", "shard", "salt", "bucket", "df", "cf",
+                         "max_wdt"],
             )
             terms = tbl.column("term").to_pylist()
             shards = tbl.column("shard").to_numpy()
             salts = tbl.column("salt").to_numpy()
+            bks = tbl.column("bucket").to_numpy()
             dfs = tbl.column("df").to_numpy()
             cfs = tbl.column("cf").to_numpy()
             maxw = tbl.column("max_wdt").to_numpy()
             for i, t in enumerate(terms):
+                # row-level bucket filter: a segment file holds many
+                # buckets, and a sharded reader must own each term
+                # EXCLUSIVELY (overlapping shards double-count scores)
+                if want is not None and int(bks[i]) not in want:
+                    continue
                 self._terms.setdefault(t, []).append(
                     Fragment(file_idx, i, int(shards[i]), int(salts[i]),
                              int(dfs[i]), int(cfs[i]), float(maxw[i]))

@@ -1,0 +1,268 @@
+"""Snowball "spanish" stemmer + Spanish analyzer — pure Python, from the
+published algorithm description at snowballstem.org.
+
+The reference's Spanish path tokenizes and lemmatizes with spaCy
+``es_core_news_sm`` (/root/reference/engine/text/spanishtokenstream.py:11-21,
+/root/reference/engine/text/spanishtokenprocessor.py:9-27).  spaCy and its
+model are not installable in this container, so this module provides the
+standard public pure-Python approximation instead: alphabetic
+tokenization matching the reference's ``is_alpha``/lower/alnum filter and
+Snowball Spanish stemming in place of spaCy lemmas.  It is registered as
+``ANALYZERS["spanish"]``; swapping in the spaCy lemmatizer later only
+changes ``_normalize`` (the drop-in call is documented there).
+"""
+
+from __future__ import annotations
+
+import re
+
+VOWELS = set("aeiouáéíóúü")
+
+_ACCENT = str.maketrans("áéíóú", "aeiou")
+
+
+def _regions(word: str) -> tuple[int, int, int]:
+    """(r1, r2, rv) start offsets per the Snowball definitions."""
+    n = len(word)
+
+    def r_after(start: int) -> int:
+        j = start
+        # find a vowel
+        while j < n and word[j] not in VOWELS:
+            j += 1
+        # then a non-vowel
+        while j < n and word[j] in VOWELS:
+            j += 1
+        return j + 1 if j < n else n
+
+    r1 = r_after(0)
+    r2 = r_after(r1)
+
+    # RV
+    if n < 3:
+        rv = n
+    elif word[1] not in VOWELS:
+        # after the next vowel following position 1
+        j = 2
+        while j < n and word[j] not in VOWELS:
+            j += 1
+        rv = j + 1 if j < n else n
+    elif word[0] in VOWELS and word[1] in VOWELS:
+        # after the next consonant
+        j = 2
+        while j < n and word[j] in VOWELS:
+            j += 1
+        rv = j + 1 if j < n else n
+    else:
+        rv = 3
+    return r1, r2, rv
+
+
+_STEP0_SUFFIXES = ("selas", "selos", "sela", "selo", "las", "les", "los",
+                   "nos", "me", "se", "la", "le", "lo")
+_STEP0_A = ("iéndo", "ándo", "ár", "ér", "ír")
+_STEP0_A_REPL = {"iéndo": "iendo", "ándo": "ando", "ár": "ar", "ér": "er",
+                 "ír": "ir"}
+_STEP0_B = ("iendo", "ando", "ar", "er", "ir")
+
+# step 1: (suffixes, action) — action "del2" deletes if in R2, others noted
+_STEP1 = [
+    (("amientos", "imientos", "amiento", "imiento", "anzas", "ismos",
+      "ables", "ibles", "istas", "anza", "icos", "icas", "ismo", "able",
+      "ible", "ista", "osos", "osas", "ico", "ica", "oso", "osa"), "del2"),
+    (("adoras", "adores", "aciones", "adora", "ación", "antes", "ancias",
+      "ador", "ante", "ancia"), "del2_ic"),
+    (("logías", "logía"), "log"),
+    (("uciones", "ución"), "u"),
+    (("encias", "encia"), "ente"),
+    (("amente",), "amente"),
+    (("mente",), "mente"),
+    (("idades", "idad"), "idad"),
+    (("ivas", "ivos", "iva", "ivo"), "iva"),
+]
+
+_STEP2A = ("yeron", "yendo", "yamos", "yais", "yan", "yen", "yas", "yes",
+           "ya", "ye", "yo", "yó")
+
+_STEP2B_GU = ("emos", "éis", "en", "es")
+_STEP2B = (
+    "aríamos", "eríamos", "iríamos", "iéramos", "iésemos", "aríais",
+    "aremos", "eríais", "eremos", "iríais", "iremos", "ierais", "ieseis",
+    "asteis", "isteis", "ábamos", "áramos", "ásemos", "arían", "arías",
+    "aríais", "aréis", "erían", "erías", "eréis", "irían", "irías",
+    "iréis", "ieran", "iesen", "ieron", "iendo", "ieras", "ieses",
+    "abais", "arais", "aseis", "íamos", "arán", "arás", "aría", "erán",
+    "erás", "ería", "irán", "irás", "iría", "iera", "iese", "aste",
+    "iste", "aban", "aran", "asen", "aron", "ando", "abas", "adas",
+    "idas", "aras", "ases", "íais", "ados", "idos", "amos", "imos",
+    "ará", "aré", "erá", "eré", "irá", "iré", "aba", "ada", "ida",
+    "ara", "ase", "ían", "ado", "ido", "ías", "áis", "ía", "ad", "ed",
+    "id", "an", "ió", "ar", "er", "ir", "as", "ís",
+)
+
+_STEP3_DEL = ("os", "a", "o", "á", "í", "ó")
+
+
+def stem(word: str) -> str:
+    """Snowball Spanish stem of a lowercase word."""
+    word = word.lower()
+    if len(word) <= 2:
+        return word.translate(_ACCENT)
+    r1, r2, rv = _regions(word)
+
+    def in_rv(suffix_len: int) -> bool:
+        return len(word) - suffix_len >= rv
+
+    def in_r1(suffix_len: int) -> bool:
+        return len(word) - suffix_len >= r1
+
+    def in_r2(suffix_len: int) -> bool:
+        return len(word) - suffix_len >= r2
+
+    # ---- step 0: attached pronoun (deleted when preceded by one of the
+    # gerund/infinitive forms lying in RV; accented forms lose the accent)
+    for suf in _STEP0_SUFFIXES:
+        if word.endswith(suf):
+            base = word[: -len(suf)]
+            matched = False
+            for a in _STEP0_A:
+                if base.endswith(a) and len(base) - len(a) >= rv:
+                    word = base[: -len(a)] + _STEP0_A_REPL[a]
+                    matched = True
+                    break
+            if not matched:
+                for a in _STEP0_B:
+                    if base.endswith(a) and len(base) - len(a) >= rv:
+                        word = base
+                        matched = True
+                        break
+            if not matched and base.endswith("yendo") and \
+                    len(base) - 5 >= rv and base[-6:-5] == "u":
+                word = base
+                matched = True
+            if matched:
+                r1, r2, rv = _regions(word)
+            break
+
+    # ---- step 1: standard suffixes ----
+    step1_done = False
+    for sufs, action in _STEP1:
+        hit = next((s for s in sufs if word.endswith(s)), None)
+        if hit is None:
+            continue
+        ln = len(hit)
+        if action == "del2" and in_r2(ln):
+            word = word[:-ln]
+            step1_done = True
+        elif action == "del2_ic" and in_r2(ln):
+            word = word[:-ln]
+            if word.endswith("ic") and in_r2(ln + 2):
+                word = word[:-2]
+            step1_done = True
+        elif action == "log" and in_r2(ln):
+            word = word[:-ln] + "log"
+            step1_done = True
+        elif action == "u" and in_r2(ln):
+            word = word[:-ln] + "u"
+            step1_done = True
+        elif action == "ente" and in_r2(ln):
+            word = word[:-ln] + "ente"
+            step1_done = True
+        elif action == "amente" and in_r1(ln):
+            word = word[:-ln]
+            step1_done = True
+            if word.endswith("iv") and in_r2(ln + 2):
+                word = word[:-2]
+                if word.endswith("at") and in_r2(ln + 4):
+                    word = word[:-2]
+            elif any(word.endswith(p) and in_r2(ln + 2)
+                     for p in ("os", "ic", "ad")):
+                word = word[:-2]
+        elif action == "mente" and in_r2(ln):
+            word = word[:-ln]
+            step1_done = True
+            for p in ("ante", "able", "ible"):
+                if word.endswith(p) and in_r2(ln + 4):
+                    word = word[:-4]
+                    break
+        elif action == "idad" and in_r2(ln):
+            word = word[:-ln]
+            step1_done = True
+            for p in ("abil", "ic", "iv"):
+                if word.endswith(p) and in_r2(ln + len(p)):
+                    word = word[: -len(p)]
+                    break
+        elif action == "iva" and in_r2(ln):
+            word = word[:-ln]
+            step1_done = True
+            if word.endswith("at") and in_r2(ln + 2):
+                word = word[:-2]
+        break
+
+    # ---- step 2a: verb suffixes beginning with y (only if step 1 did
+    # nothing) ----
+    step2a_done = False
+    if not step1_done:
+        for suf in _STEP2A:
+            if word.endswith(suf) and in_rv(len(suf)) and \
+                    word[-len(suf) - 1: -len(suf)] == "u":
+                word = word[: -len(suf)]
+                step2a_done = True
+                break
+
+    # ---- step 2b: other verb suffixes ----
+    if not step1_done and not step2a_done:
+        hit = next((s for s in _STEP2B_GU if word.endswith(s)
+                    and in_rv(len(s))), None)
+        if hit is not None:
+            word = word[: -len(hit)]
+            if word.endswith("gu"):
+                word = word[:-1]
+        else:
+            hit = next((s for s in _STEP2B if word.endswith(s)
+                        and in_rv(len(s))), None)
+            if hit is not None:
+                word = word[: -len(hit)]
+
+    # ---- step 3: residual suffix ----
+    r1, r2, rv = _regions(word)
+    for suf in _STEP3_DEL:
+        if word.endswith(suf) and len(word) - len(suf) >= rv:
+            word = word[: -len(suf)]
+            break
+    else:
+        for suf in ("e", "é"):
+            if word.endswith(suf) and len(word) - 1 >= rv:
+                word = word[:-1]
+                if word.endswith("gu") and len(word) - 1 >= rv:
+                    word = word[:-1]
+                break
+
+    return word.translate(_ACCENT)
+
+
+# ---- analyzer (reference parity: spanishtokenprocessor.py semantics) ----
+
+_ALPHA_RE = re.compile(r"[a-záéíóúüñ]+", re.IGNORECASE)
+
+
+def _normalize(token: str) -> str:
+    """Term normalization.  Reference: spaCy lemma
+    (``nlp(token)[0].lemma_``); here: Snowball Spanish stem.  Drop-in
+    spaCy upgrade: replace the body with the documented call."""
+    return stem(token)
+
+
+def analyze_document_spanish(content: str, cache=None):
+    """Spanish analyzer with the tokenizer contract of
+    tokenizer.analyze_document: returns ({term: [positions]}, n_tokens).
+    Tokens are alphabetic runs, lowercased (the reference keeps
+    ``tok.is_alpha`` tokens, lowercase + alnum filter)."""
+    term_pos: dict[str, list[int]] = {}
+    pos = 0
+    for line in content.split("\n"):
+        for m in _ALPHA_RE.finditer(line):
+            pos += 1
+            term = _normalize(m.group(0).lower())
+            term_pos.setdefault(term, []).append(pos)
+    return term_pos, pos

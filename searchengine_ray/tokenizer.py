@@ -153,9 +153,18 @@ def analyze_document_whitespace(
     return term_positions, position
 
 
+def _analyze_spanish(content: str, cache=None):
+    from .spanish import analyze_document_spanish
+
+    return analyze_document_spanish(content, cache)
+
+
 ANALYZERS = {
     "reference": analyze_document,
     "whitespace": analyze_document_whitespace,
+    # T7: pure-Python Snowball Spanish stemming in place of the
+    # reference's spaCy lemmatizer (not installable here); see spanish.py
+    "spanish": _analyze_spanish,
 }
 
 

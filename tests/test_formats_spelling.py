@@ -58,11 +58,14 @@ class TestFormats:
         assert by_path["b.json"]["content"] == "B"
         assert by_path["c.xml"]["title"] == "X"
 
-    def test_spanish_stub_raises(self):
+    def test_spanish_analyzer_works(self):
+        # round 2: the NotImplementedError stub became a real pure-Python
+        # Snowball Spanish implementation (spanish.py)
         from searchengine_ray.formats import analyze_document_spanish
 
-        with pytest.raises(NotImplementedError):
-            analyze_document_spanish("hola mundo")
+        tp, n = analyze_document_spanish("hola mundos")
+        assert n == 2
+        assert "mund" in tp
 
 
 class TestSpelling:
