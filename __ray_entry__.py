@@ -94,12 +94,12 @@ def _events(sf_dir: str):
 def q_index_term_stats(sf_dir: str) -> pa.Table:
     """Full-index vocabulary statistics: df + cf per term (A6, S9)."""
     eng = _engine_for(sf_dir)
-    terms = eng.index.get_vocabulary()
+    terms, df, cf = eng.index.term_stats()
     return pa.table(
         {
             "term": pa.array(terms, type=pa.string()),
-            "df": pa.array([eng.index.df(t) for t in terms], type=pa.int64()),
-            "cf": pa.array([eng.index.cf(t) for t in terms], type=pa.int64()),
+            "df": pa.array(df),
+            "cf": pa.array(cf),
         }
     )
 

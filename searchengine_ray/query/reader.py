@@ -138,6 +138,19 @@ class DiskIndexReader:
         """Sorted vocabulary (reference: diskpositionalindex.py:52-55)."""
         return sorted(self._terms)
 
+    def term_stats(self) -> tuple[list[str], np.ndarray, np.ndarray]:
+        """(sorted terms, df, cf) in one pass over the dictionary —
+        vocabulary-stat consumers should use this instead of per-term
+        df()/cf() lookups (2 dict probes per term)."""
+        terms = sorted(self._terms)
+        df = np.empty(len(terms), dtype=np.int64)
+        cf = np.empty(len(terms), dtype=np.int64)
+        for i, t in enumerate(terms):
+            frags = self._terms[t]
+            df[i] = sum(fr.df for fr in frags)
+            cf[i] = sum(fr.cf for fr in frags)
+        return terms, df, cf
+
     def df(self, term: str) -> int:
         frags = self._terms.get(term)
         return sum(fr.df for fr in frags) if frags else 0
