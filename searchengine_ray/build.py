@@ -604,8 +604,14 @@ def build_segments_exchange(
     # cluster size: M ~= 4 x cpus map tasks regardless of file count
     n_maps = max(1, min(len(files), 4 * cpus))
     groups = [files[i::n_maps] for i in range(n_maps)]
+    # exchange tasks are memory-bandwidth-heavy, and this class of host
+    # saturates its bus well below one-stream-per-core: above 8 CPUs,
+    # schedule each task with 2 CPU slots so at most cpus/2 run at once —
+    # each gets a bigger bandwidth share instead of thrashing caches
+    task_cpus = 2 if cpus > 8 else 1
     map_refs = [
-        _map_runs.options(num_returns=num_reducers).remote(
+        _map_runs.options(num_returns=num_reducers,
+                          num_cpus=task_cpus).remote(
             g, cfg, heavy, num_reducers, avgdl
         )
         for g in groups
@@ -613,7 +619,7 @@ def build_segments_exchange(
     if num_reducers == 1:
         map_refs = [[r] for r in map_refs]
     reduce_refs = [
-        _reduce_runs.remote(
+        _reduce_runs.options(num_cpus=task_cpus).remote(
             cfg, avgdl,
             os.path.join(segments_dir, f"segment_{r:05d}.parquet"),
             *[m[r] for m in map_refs],
@@ -848,9 +854,13 @@ def detect_heavy_terms(
     step = max(1, len(all_files) // max(4, len(all_files) // 10))
     sample_files = all_files[::step] or all_files
     scale_up = 1.5 * len(all_files) / len(sample_files)
+    # num_cpus=2 above 8 cluster CPUs: same bandwidth-contention cap as
+    # the exchange (flatten+bincount over every term is memcpy-heavy)
+    task_cpus = 2 if ray.cluster_resources().get("CPU", 8) > 8 else 1
     partials = ray.data.read_parquet(
         sample_files, columns=["terms"]  # pruned at the parquet read
-    ).map_batches(partial_counts, batch_format="pyarrow")
+    ).map_batches(partial_counts, batch_format="pyarrow",
+                  num_cpus=task_cpus)
     # driver-side final sum, vectorized: rows = sum of per-block distinct
     # vocab — small after combining.  At extreme vocab scale this becomes a
     # tree reduce (pairwise merge tasks); a groupby shuffle is never needed
