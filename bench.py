@@ -272,7 +272,7 @@ SCALING_CPUS = tuple(
 SCALING_SIZES = [
     (int(p.split(":")[0]), int(p.split(":")[1]))
     for p in os.environ.get("GRAFT_SCALING_SIZES",
-                            "300000:2,1000000:1").split(",")
+                            "1000000:2,300000:1").split(",")
 ]
 
 

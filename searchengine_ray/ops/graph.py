@@ -6,8 +6,8 @@ Replaces round-1's driver-side union-find + ``take_all()`` funnels
 - ``connected_components``: iterative min-label star contraction over an
   edge ``Dataset`` — each round is ONE Ray Data groupby; no graph state
   ever lives on the driver.  Converges in O(log diameter) rounds (dup
-  clusters are near-cliques, so 1-2 rounds in practice), detected by a
-  (count, label-sum) aggregate that strictly decreases until fixpoint.
+  clusters are near-cliques, so 1-2 rounds in practice), detected by an
+  exact per-group star-shape flag summed per round (``chg``).
 - ``write_bucketed``: materialize a keyed side table as hive-partitioned
   parquet (``jb = id % num_buckets``) so later stages join against it
   with pruned per-bucket reads instead of re-shuffling it per use.
@@ -32,11 +32,6 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 import ray.data
-
-_EMPTY_EDGES = pa.table(
-    {"u": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.int64())}
-)
-
 
 def scratch_dir(tag: str) -> str:
     """A fresh scratch directory under /tmp for materialized side tables."""
@@ -92,7 +87,7 @@ def connected_components(
     """Labels ``(node, root)`` for every node in ``pairs``; ``root`` is the
     minimum node id of the component.  Fully distributed: each round is a
     single ``groupby(u).map_groups`` star contraction; the driver only
-    sees the scalar (edge count, label sum) convergence statistic."""
+    sees the scalar (edge count, changed-group count) statistic."""
 
     def bidir(batch: pa.Table) -> pa.Table:
         a = batch.column(id_a).to_numpy(zero_copy_only=False).astype(np.int64)

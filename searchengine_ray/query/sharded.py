@@ -24,7 +24,7 @@ import ray
 from .engine import QueryEngine
 from .parser import parse_query
 from .ast import contains_phrase
-from .ranked import rank_documents_exact, ranked_query_terms
+from .ranked import rank_documents_exact
 
 
 class IndexShard:
