@@ -355,6 +355,26 @@ def q_knn_ivf(sf_dir: str) -> pa.Table:
     return knn_ivf(_embeddings(sf_dir), vecs, qids, k=10)
 
 
+def q_knn_ivf_full_probe(sf_dir: str) -> pa.Table:
+    """IVF with nprobe == n_clusters: probing every cell of the
+    materialized index must reproduce exact brute-force cosine top-k —
+    an end-to-end SQL-checkable oracle for the cell-partitioned build +
+    read path (coverage completeness, partition reassembly, scoring)."""
+    from searchengine_ray.ops.similarity import knn_ivf
+
+    vecs, qids = _query_vectors(sf_dir)
+    tbl = knn_ivf(_embeddings(sf_dir), vecs, qids, k=10, n_clusters=16,
+                  nprobe=16)
+    return pa.table(
+        {
+            "query_id": tbl.column("query_id"),
+            "vec_id": tbl.column("vec_id"),
+            "rank": tbl.column("rank"),
+            "score": pa.array(np.round(tbl.column("score").to_numpy(), 5)),
+        }
+    )
+
+
 def q_events_windowed(sf_dir: str) -> pa.Table:
     """Hourly windowed aggregate over events with a partial-aggregate
     (combiner) before the shuffle."""
@@ -517,6 +537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": q_embedding_dedup,
         "knn_bruteforce": q_knn_bruteforce,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_full_probe": q_knn_ivf_full_probe,
         "events_windowed": q_events_windowed,
         "sessionize": q_sessionize,
         "pricing_summary": q_pricing_summary,
@@ -641,6 +662,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "knn_bruteforce": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id IN (0, 1, 2)
+            ),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS s
+              FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, s,
+                     row_number() OVER (
+                       PARTITION BY query_id ORDER BY s DESC, vec_id
+                     ) AS rank
+              FROM scored
+            )
+            SELECT query_id, vec_id, rank, round(s, 5) AS score
+            FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "knn_ivf_full_probe": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
               FROM embeddings WHERE vec_id IN (0, 1, 2)

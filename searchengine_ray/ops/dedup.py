@@ -375,6 +375,39 @@ def _dedup_pair_arrays(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.nda
     return a, b
 
 
+def _collapse_local(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """Task-LOCAL union-find over this group's verified pairs, emitting
+    star edges (node, local_root).  Connectivity is preserved exactly
+    (components within the group collapse to stars; shared nodes still
+    join components across groups) while typical dup cliques reach the
+    global star-contraction fixpoint in a single round.  This is
+    per-task state over one group's pairs — nothing driver-side."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        p = parent.setdefault(x, x)
+        while p != x:
+            parent[x] = p = parent.setdefault(p, p)
+            x = p
+            p = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    out_a, out_b = [], []
+    for n in parent:
+        r = find(n)
+        if r != n:
+            out_a.append(n)
+            out_b.append(r)
+    return pa.table(
+        {"id_a": pa.array(out_a, type=pa.int64()),
+         "id_b": pa.array(out_b, type=pa.int64())}
+    )
+
+
 def _finish_dedup(
     ds: ray.data.Dataset, verified: ray.data.Dataset, id_col: str, tag: str
 ) -> ray.data.Dataset:
@@ -453,10 +486,7 @@ def minhash_lsh_dedup(
         est = (sig[np.searchsorted(sid, a)]
                == sig[np.searchsorted(sid, b)]).mean(axis=1)
         m = est >= threshold
-        return pa.table(
-            {"id_a": pa.array(a[m], type=pa.int64()),
-             "id_b": pa.array(b[m], type=pa.int64())}
-        )
+        return _collapse_local(a[m], b[m])
 
     verified = attach_bucketed(
         pairs, sig_dir, num_join_buckets, id_col, ["signature"], verify
@@ -554,10 +584,8 @@ def simhash_dedup(
         m = ham <= max_hamming
         if not m.any():
             return empty
-        return pa.table(
-            {"id_a": pa.array(ids[a_idx[m]].astype(np.int64)),
-             "id_b": pa.array(ids[b_idx[m]].astype(np.int64))}
-        )
+        return _collapse_local(ids[a_idx[m]].astype(np.int64),
+                               ids[b_idx[m]].astype(np.int64))
 
     verified = (
         sigs.map_batches(explode, batch_format="pyarrow")
@@ -690,10 +718,7 @@ def embedding_dedup(
         cos = (unit[np.searchsorted(sid, a)]
                * unit[np.searchsorted(sid, b)]).sum(axis=1)
         m = cos >= threshold
-        return pa.table(
-            {"id_a": pa.array(a[m], type=pa.int64()),
-             "id_b": pa.array(b[m], type=pa.int64())}
-        )
+        return _collapse_local(a[m], b[m])
 
     verified = attach_bucketed(
         pairs, unit_dir, num_join_buckets, id_col, ["unit"], verify
