@@ -21,7 +21,9 @@ _BPE_RE = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-
 _PUNCT_RE = re.compile(r"[^\w\s]")
 
 # tiny per-language stopword profiles for the n-gram/stopword language
-# heuristic (public common-word lists)
+# heuristic (public common-word lists).  The SQL oracle
+# (oracles.detect_language_sql) inlines this same table, so extending a
+# profile automatically extends the oracle.
 _LANG_PROFILES = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for",
            "on", "with", "as", "this", "was", "are", "be", "at", "by", "or"},
@@ -33,7 +35,19 @@ _LANG_PROFILES = {
     "de": {"der", "die", "das", "und", "in", "den", "von", "zu", "mit",
            "ist", "des", "im", "ein", "eine", "auf", "als", "auch", "es",
            "an", "nicht"},
+    "it": {"il", "di", "che", "e", "la", "per", "un", "una", "non", "sono",
+           "con", "del", "gli", "nel", "come", "anche", "ma", "si", "dei",
+           "alla"},
+    "pt": {"o", "de", "que", "e", "do", "da", "em", "um", "uma", "para",
+           "com", "os", "as", "dos", "mais", "como", "mas", "foi", "ao",
+           "das"},
+    "nl": {"de", "het", "een", "van", "en", "in", "is", "dat", "op", "te",
+           "zijn", "met", "voor", "niet", "aan", "er", "ook", "als", "maar",
+           "bij"},
 }
+# Known limitation: whitespace-token stopword profiles cannot detect CJK
+# (no whitespace tokenization) — that needs character n-gram profiles,
+# which the SQL-mirrored word-join design deliberately does not attempt.
 
 
 def token_counts(ds: ray.data.Dataset, text_col: str = "text",

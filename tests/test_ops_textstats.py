@@ -102,3 +102,54 @@ class TestFingerprints:
         }
         assert rows[0]["rolling_fingerprint"] == rows[1]["rolling_fingerprint"]
         assert rows[0]["content_md5"] != rows[1]["content_md5"]
+
+
+class TestLanguageIdRealText:
+    """The synthetic corpus's lang column is decorative (all texts are
+    English-ish tokens), so real-language validation lives here: the
+    stopword heuristic must identify authentic sentences in each
+    profiled language."""
+
+    SAMPLES = {
+        "en": "the quick brown fox jumps over the lazy dog and it was fine",
+        "es": "el perro corre por la casa y el gato duerme en una silla",
+        "fr": "le chat est dans la maison et les enfants jouent dans le jardin",
+        "de": "der hund läuft durch das haus und die katze schläft auf dem sofa",
+        "it": "il cane corre per la casa e non sono sicuro che il gatto dorma",
+        "pt": "o cachorro corre pela casa e o gato dorme em uma cadeira",
+        "nl": "de hond rent door het huis en de kat slaapt op een stoel",
+    }
+
+    def test_detects_each_profiled_language(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from searchengine_ray.ops.textstats import detect_language
+
+        langs = sorted(self.SAMPLES)
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(langs)), type=pa.int64()),
+                "text": pa.array([self.SAMPLES[lg] for lg in langs]),
+            }
+        )
+        out = {r["doc_id"]: r["detected_lang"]
+               for r in detect_language(
+                   ray.data.from_arrow(tbl)).take_all()}
+        got = {langs[i]: out[i] for i in range(len(langs))}
+        assert got == {lg: lg for lg in langs}, got
+
+    def test_cjk_is_undetermined_by_design(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from searchengine_ray.ops.textstats import detect_language
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([0], type=pa.int64()),
+                "text": pa.array(["这是一个中文句子没有空格分词"]),
+            }
+        )
+        out = detect_language(ray.data.from_arrow(tbl)).take_all()
+        assert out[0]["detected_lang"] == "und"
