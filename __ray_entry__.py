@@ -490,6 +490,43 @@ def q_media_pipeline(sf_dir: str) -> pa.Table:
     ).sort_by("media_id")
 
 
+def q_media_frames(sf_dir: str) -> pa.Table:
+    """Video frame-offset sampling through the actor-pool stage.  The
+    fake backend is pure arithmetic over sha256-derived metadata, so this
+    media path IS SQL-checkable end-to-end (synthesize -> kind dispatch
+    -> per-video offsets), unlike the hash-seeded image/audio fakes."""
+    from searchengine_ray.ops.multimodal import (
+        VideoFrameSample,
+        media_stage,
+        synthesize_media,
+    )
+
+    media = synthesize_media(_documents(sf_dir))
+    out = media_stage(media, VideoFrameSample, "video", batch_size=64)
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b.column("media_id").to_numpy(zero_copy_only=False)
+        col = b.column("frame_offsets_ms")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = np.asarray([len(x) for x in col], dtype=np.int64)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        idx = np.concatenate([np.arange(n) for n in lens]) if len(lens) else \
+            np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "media_id": pa.array(np.repeat(ids, lens), type=pa.int64()),
+                "frame_idx": pa.array(idx.astype(np.int64)),
+                "offset_ms": pa.array(flat.astype(np.int64)),
+            }
+        )
+
+    return pa.concat_tables(
+        list(out.map_batches(explode, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow"))
+    ).sort_by([("media_id", "ascending"), ("frame_idx", "ascending")])
+
+
 def entry() -> Any:
     """Flagship: reference-analyzer index over sf0.001 documents + one BM25
     query; returns the scored top-k as a pandas DataFrame."""
@@ -543,6 +580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": q_pricing_summary,
         "supplier_revenue": q_supplier_revenue,
         "media_pipeline": q_media_pipeline,
+        "media_frames": q_media_frames,
     }
 
 
@@ -563,6 +601,24 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints_rolling": oracles.fingerprints_rolling_sql(),
         "quality_full": oracles.quality_full_sql(),
         "detect_language": oracles.detect_language_sql(),
+        # the video fake backend is exact arithmetic over sha256-derived
+        # metadata: synthesize -> kind dispatch -> frame offsets, in SQL
+        "media_frames": """
+            WITH m AS (
+              SELECT doc_id AS media_id,
+                     ('0x' || substring(sha256(text), 1, 2))::INT % 3
+                         AS kindnum,
+                     100 + ('0x' || substring(sha256(text), 7, 2))::INT * 10
+                         AS duration_ms
+              FROM documents
+            )
+            SELECT media_id, i.range::BIGINT AS frame_idx,
+                   cast(floor(duration_ms * (i.range + 0.5) / 4)
+                        AS BIGINT) AS offset_ms
+            FROM m CROSS JOIN range(0, 4) i
+            WHERE kindnum = 2
+            ORDER BY media_id, frame_idx
+        """,
         "index_term_stats": f"""
             WITH {_TOK}
             SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf

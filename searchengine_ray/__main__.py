@@ -2,7 +2,7 @@
 (load corpus -> index -> search, /root/reference/main.py + interface/).
 
 Usage:
-  python -m searchengine_ray build  --corpus PATH --index DIR [--analyzer reference|whitespace]
+  python -m searchengine_ray build  --corpus PATH --index DIR [--analyzer reference|whitespace|spanish]
   python -m searchengine_ray query  --index DIR "raw query" [--mode bm25|default|bool] [-k 10]
   python -m searchengine_ray spell  --index DIR "misspelled words"
   python -m searchengine_ray vocab  --index DIR [--limit 20]
@@ -88,7 +88,7 @@ def main(argv=None) -> int:
     b.add_argument("--corpus", required=True)
     b.add_argument("--index", required=True)
     b.add_argument("--analyzer", default="reference",
-                   choices=["reference", "whitespace"])
+                   choices=["reference", "whitespace", "spanish"])
     b.set_defaults(fn=cmd_build)
 
     q = sub.add_parser("query", help="query an index")
