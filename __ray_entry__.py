@@ -291,6 +291,22 @@ def q_minhash_dedup(sf_dir: str) -> pa.Table:
     ).sort_by("doc_id")
 
 
+def q_ngram_jaccard_dedup(sf_dir: str) -> pa.Table:
+    """MinHash-LSH candidates + EXACT distinct-gram Jaccard verification
+    (the no-estimator-error dedup variant)."""
+    from searchengine_ray.ops.dedup import ngram_jaccard_dedup
+
+    out = ngram_jaccard_dedup(_documents(sf_dir), threshold=0.8)
+
+    def pick(b: pa.Table) -> pa.Table:
+        return b.select(["doc_id"])
+
+    return pa.concat_tables(
+        list(out.map_batches(pick, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow"))
+    ).sort_by("doc_id")
+
+
 def q_simhash_dedup(sf_dir: str) -> pa.Table:
     from searchengine_ray.ops.dedup import simhash_dedup
 
@@ -570,6 +586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "fingerprints_rolling": q_fingerprints_rolling,
         "minhash_dedup": q_minhash_dedup,
+        "ngram_jaccard_dedup": q_ngram_jaccard_dedup,
         "simhash_dedup": q_simhash_dedup,
         "embedding_dedup": q_embedding_dedup,
         "knn_bruteforce": q_knn_bruteforce,
@@ -595,6 +612,8 @@ def oracle_sql() -> dict[str, str]:
         # token hashes, folds, minhash family, LSH bands, thresholds and
         # recursive-CTE connected components) — see searchengine_ray/oracles.py
         "minhash_dedup": oracles.minhash_dedup_sql(threshold=0.8),
+        "ngram_jaccard_dedup": oracles.minhash_dedup_sql(
+            threshold=0.8, verify="exact"),
         "simhash_dedup": oracles.simhash_dedup_sql(max_hamming=2),
         # driver test tables carry 64-dim embeddings at every sf
         "embedding_dedup": oracles.embedding_dedup_sql(64, threshold=0.97),

@@ -420,27 +420,19 @@ def _finish_dedup(
     return anti_join_ids(ds, drop_dir, id_col)
 
 
-def minhash_lsh_dedup(
+def _minhash_sig_pairs(
     ds: ray.data.Dataset,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 128,
-    num_bands: int = 32,
-    threshold: float = 0.8,
-    shingle_k: int = 3,
-    seed: int = 1234,
-    num_join_buckets: int = 16,
-    bucket_cap: int = 256,
-) -> ray.data.Dataset:
-    """Near-dup removal: vectorized MinHash signatures -> LSH band shuffle
-    (16 B/row) -> distributed signature-estimate verification (matching
-    signature fraction >= threshold, the unbiased MinHash Jaccard
-    estimator) -> distributed components -> keep the min id per cluster.
-
-    Signatures are materialized once (object store for the band stage,
-    id-bucketed parquet for the verification joins), so neither text nor
-    signatures are ever collected on the driver."""
-    assert num_hashes % num_bands == 0
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    num_bands: int,
+    shingle_k: int,
+    seed: int,
+    bucket_cap: int,
+):
+    """Shared MinHash candidate generation: signatures (materialized) +
+    deduped LSH candidate pairs (materialized).  Used by both the
+    estimate-verified and the exact-Jaccard-verified dedup."""
     sigs = ds.map_batches(
         stage_task_fn(
             MinHasher, text_col=text_col, id_col=id_col,
@@ -468,6 +460,34 @@ def minhash_lsh_dedup(
                     batch_format="pyarrow")
         .materialize()
     )
+    return sigs, pairs
+
+
+def minhash_lsh_dedup(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    seed: int = 1234,
+    num_join_buckets: int = 16,
+    bucket_cap: int = 256,
+) -> ray.data.Dataset:
+    """Near-dup removal: vectorized MinHash signatures -> LSH band shuffle
+    (16 B/row) -> distributed signature-estimate verification (matching
+    signature fraction >= threshold, the unbiased MinHash Jaccard
+    estimator) -> distributed components -> keep the min id per cluster.
+
+    Signatures are materialized once (object store for the band stage,
+    id-bucketed parquet for the verification joins), so neither text nor
+    signatures are ever collected on the driver."""
+    assert num_hashes % num_bands == 0
+    sigs, pairs = _minhash_sig_pairs(
+        ds, text_col, id_col, num_hashes, num_bands, shingle_k, seed,
+        bucket_cap,
+    )
     if pairs.count() == 0:
         return ds
     # materialize the signature store only once candidates exist
@@ -492,6 +512,73 @@ def minhash_lsh_dedup(
         pairs, sig_dir, num_join_buckets, id_col, ["signature"], verify
     )
     return _finish_dedup(ds, verified, id_col, "minhash")
+
+
+def ngram_jaccard_dedup(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 128,
+    num_bands: int = 32,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    seed: int = 1234,
+    num_join_buckets: int = 16,
+    bucket_cap: int = 256,
+) -> ray.data.Dataset:
+    """Near-dup removal with EXACT n-gram Jaccard verification: MinHash
+    LSH generates candidates exactly as ``minhash_lsh_dedup``, but each
+    pair is verified by recomputing the distinct word-k-gram sets from
+    the TEXTS (joined distributedly from an id-bucketed text store) and
+    comparing |A∩B| / |A∪B| >= threshold — no estimator error.
+
+    Cost note vs the estimate variant: the text store is a bucketed
+    corpus copy and each verification task re-tokenizes its pair texts,
+    so at 100 TB prefer ``minhash_lsh_dedup`` (estimate std with 128
+    hashes is ~0.035) unless exactness at the threshold matters."""
+    assert num_hashes % num_bands == 0
+    _, pairs = _minhash_sig_pairs(
+        ds, text_col, id_col, num_hashes, num_bands, shingle_k, seed,
+        bucket_cap,
+    )
+    if pairs.count() == 0:
+        return ds
+    text_dir = scratch_dir("jaccard_texts")
+    write_bucketed(
+        ds.map_batches(
+            lambda b: b.select([id_col, text_col]), batch_format="pyarrow"
+        ),
+        id_col, text_dir, num_join_buckets,
+    )
+    cache = _TokenHashCache(md5_hash32)
+
+    def gram_sets(texts: list[str]) -> list[np.ndarray]:
+        flat, off = _flat_tokens(texts)
+        h = cache.hash_all(flat)
+        grams, goff = gram_fold(h, np.diff(off), off, shingle_k)
+        return [np.unique(grams[goff[i]:goff[i + 1]])
+                for i in range(len(texts))]
+
+    def verify(group: pa.Table, lookup) -> pa.Table:
+        a = group.column("id_a").to_numpy(zero_copy_only=False)
+        b = group.column("id_b").to_numpy(zero_copy_only=False)
+        a, b = _dedup_pair_arrays(a, b)
+        side = lookup(np.concatenate([a, b]))
+        sid = side.column(id_col).to_numpy(zero_copy_only=False)
+        sets = gram_sets(side.column(text_col).to_pylist())
+        by_id = dict(zip(sid.tolist(), sets))
+        keep = np.zeros(len(a), dtype=bool)
+        for i in range(len(a)):
+            ga, gb = by_id[int(a[i])], by_id[int(b[i])]
+            inter = np.intersect1d(ga, gb, assume_unique=True).size
+            union = ga.size + gb.size - inter
+            keep[i] = union > 0 and inter / union >= threshold
+        return _collapse_local(a[keep], b[keep])
+
+    verified = attach_bucketed(
+        pairs, text_dir, num_join_buckets, id_col, [text_col], verify
+    )
+    return _finish_dedup(ds, verified, id_col, "jaccard")
 
 
 # -------------------------------------------------------------- simhash ----

@@ -84,7 +84,11 @@ def minhash_dedup_sql(
     threshold: float = 0.8,
     shingle_k: int = 3,
     seed: int = 1234,
+    verify: str = "estimate",
 ) -> str:
+    """``verify="estimate"`` replays minhash_lsh_dedup (matching-signature
+    fraction); ``verify="exact"`` replays ngram_jaccard_dedup (distinct
+    gram-set intersection-over-union on the same candidates)."""
     a, b = minhash_family(num_hashes, seed)
     fam_rows = ", ".join(
         f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_hashes)
@@ -139,6 +143,14 @@ cand AS (
   FROM bkey x JOIN bkey y
     ON x.b = y.b AND x.k1 = y.k1 AND x.k2 = y.k2 AND x.doc_id < y.doc_id
 ),
+{_minhash_edges_sql(verify, threshold)},
+{_cc_sql("edges", "documents", "doc_id")}
+"""
+
+
+def _minhash_edges_sql(verify: str, threshold: float) -> str:
+    if verify == "estimate":
+        return f"""
 edges AS (
   SELECT c.ida, c.idb
   FROM cand c
@@ -146,9 +158,27 @@ edges AS (
   JOIN sig sb ON sb.doc_id = c.idb AND sb.i = sa.i
   GROUP BY c.ida, c.idb
   HAVING avg(CASE WHEN sa.m = sb.m THEN 1.0 ELSE 0.0 END) >= {threshold}
+)"""
+    assert verify == "exact"
+    return f"""
+gd AS (SELECT DISTINCT doc_id, g FROM grams),
+gn AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id),
+inter AS (
+  SELECT c.ida, c.idb, count(*) AS i
+  FROM cand c
+  JOIN gd x ON x.doc_id = c.ida
+  JOIN gd y ON y.doc_id = c.idb AND y.g = x.g
+  GROUP BY c.ida, c.idb
 ),
-{_cc_sql("edges", "documents", "doc_id")}
-"""
+edges AS (
+  SELECT c.ida, c.idb
+  FROM cand c
+  JOIN gn na ON na.doc_id = c.ida
+  JOIN gn nb ON nb.doc_id = c.idb
+  LEFT JOIN inter i ON i.ida = c.ida AND i.idb = c.idb
+  WHERE coalesce(i.i, 0) * 1.0
+        / (na.n + nb.n - coalesce(i.i, 0)) >= {threshold}
+)"""
 
 
 def simhash_dedup_sql(max_hamming: int = 3) -> str:

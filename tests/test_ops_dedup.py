@@ -81,6 +81,44 @@ class TestMinHash:
         assert np.array_equal(a, b)
 
 
+class TestNgramJaccardDedup:
+    def test_exact_verification_removes_near_dups(self, docs_ds):
+        from searchengine_ray.ops.dedup import ngram_jaccard_dedup
+
+        out = sorted(
+            r["doc_id"]
+            for r in ngram_jaccard_dedup(docs_ds, threshold=0.5).take_all()
+        )
+        assert 0 in out and 1 not in out and 2 not in out
+        assert 3 in out and 4 not in out
+        assert 10 in out and 11 not in out
+        assert {5, 6, 7, 8, 9} <= set(out)
+
+    def test_exact_rejects_below_threshold(self, ray_session):
+        """A pair that the LSH proposes but whose true Jaccard is below
+        the threshold must survive (exact verification, no estimator)."""
+        import pyarrow as pa
+        import ray.data
+
+        from searchengine_ray.ops.dedup import ngram_jaccard_dedup
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        half = "alpha beta gamma delta other words entirely changed"
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([0, 1], type=pa.int64()),
+                "text": pa.array([base, half]),
+            }
+        )
+        out = sorted(
+            r["doc_id"]
+            for r in ngram_jaccard_dedup(
+                ray.data.from_arrow(tbl), threshold=0.9
+            ).take_all()
+        )
+        assert out == [0, 1]
+
+
 class TestSimHash:
     def test_exact_and_near_dups_removed(self, docs_ds):
         from searchengine_ray.ops.dedup import simhash_dedup
