@@ -25,8 +25,11 @@ class QueryEngine:
     # ---- Boolean ----
 
     def boolean_query(self, raw_query: str) -> np.ndarray:
-        """doc_ids matching a Boolean query (sorted ascending)."""
-        ast = parse_query(raw_query)
+        """doc_ids matching a Boolean query (sorted ascending).  Query
+        terms normalize with the analyzer that built the index (from the
+        manifest), so Boolean search works on whitespace / Spanish
+        indexes, not just the reference chain."""
+        ast = parse_query(raw_query, analyzer=self.index.analyzer)
         with_positions = contains_phrase(ast)
         return ast.get_postings(self.index, with_positions).doc_ids
 

@@ -22,18 +22,30 @@ from ..tokenizer import process_query_terms
 from .ast import AndQuery, NotQuery, OrQuery, PhraseLiteral, QueryNode, TermLiteral
 
 
-def _process(text: str) -> str:
-    """T5 query preprocessing: joined processed terms (preprocessing.py:36-48)."""
+def _process_for(analyzer: str, text: str) -> str:
+    """T5 query preprocessing, matched to the analyzer that BUILT the
+    index — query terms must normalize exactly like indexed terms or
+    Boolean queries silently miss (e.g. Porter2-stemming a query against
+    a whitespace or Spanish index)."""
+    if analyzer == "whitespace":
+        return " ".join(text.lower().split())
+    if analyzer == "spanish":
+        from ..spanish import _ALPHA_RE, stem
+
+        return " ".join(
+            stem(m.group(0).lower()) for m in _ALPHA_RE.finditer(text)
+        )
+    # reference chain (preprocessing.py:36-48)
     return " ".join(process_query_terms(text))
 
 
-def parse_query(query: str) -> QueryNode:
+def parse_query(query: str, analyzer: str = "reference") -> QueryNode:
     subqueries = [s for s in query.split("+") if s.strip()]
     if not subqueries:
         raise ValueError("No valid subqueries found in the query.")
     components: list[QueryNode] = []
     for sub in subqueries:
-        literals = _parse_subquery(sub)
+        literals = _parse_subquery(sub, analyzer)
         if len(literals) == 1:
             components.append(literals[0])
         else:
@@ -43,7 +55,7 @@ def parse_query(query: str) -> QueryNode:
     return OrQuery(components)
 
 
-def _parse_subquery(sub: str) -> list[QueryNode]:
+def _parse_subquery(sub: str, analyzer: str = "reference") -> list[QueryNode]:
     literals: list[QueryNode] = []
     i, n = 0, len(sub)
     while i < n:
@@ -66,7 +78,7 @@ def _parse_subquery(sub: str) -> list[QueryNode]:
                 raise ValueError(
                     "Malformed phrase, missing a closing quotation mark."
                 )
-            contents = _process(sub[i + 1:end])
+            contents = _process_for(analyzer, sub[i + 1:end])
             i = end + 1
             if " " in contents:
                 node: QueryNode = PhraseLiteral(
@@ -80,6 +92,6 @@ def _parse_subquery(sub: str) -> list[QueryNode]:
                 end = n
             word = sub[i:end]
             i = end
-            node = TermLiteral(_process(word))
+            node = TermLiteral(_process_for(analyzer, word))
         literals.append(NotQuery(node) if negate else node)
     return literals

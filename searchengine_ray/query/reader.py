@@ -57,6 +57,8 @@ class DiskIndexReader:
         self.num_docs: int = self.manifest["num_docs"]
         self.total_tokens: int = self.manifest["total_tokens"]
         self.avg_doc_length: float = self.manifest["avg_doc_length"]
+        self.analyzer: str = self.manifest.get("config", {}).get(
+            "analyzer", "reference")
 
         self._load_doc_stats()
         self._load_dictionary(buckets)

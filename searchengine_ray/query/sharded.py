@@ -81,6 +81,8 @@ class ShardedQueryPool:
         with open(os.path.join(index_dir, "manifest.json")) as f:
             manifest = json.load(f)
         self.num_buckets = int(manifest["num_buckets"])
+        self.analyzer = manifest.get("config", {}).get("analyzer",
+                                                       "reference")
         num_shards = min(num_shards, self.num_buckets)
         self.assignments = [
             list(range(s, self.num_buckets, num_shards))
@@ -142,7 +144,7 @@ class ShardedQueryPool:
     # ---- Boolean ----
 
     def boolean_query(self, raw_query: str) -> np.ndarray:
-        ast = parse_query(raw_query)
+        ast = parse_query(raw_query, analyzer=self.analyzer)
         return ast.get_postings(
             self._routed, contains_phrase(ast)
         ).doc_ids

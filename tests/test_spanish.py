@@ -86,3 +86,8 @@ def test_spanish_index_build_and_query(ray_session, tmp_path):
     # inflected forms of the same lemma landed on one stem in the index
     vocab = eng.index.get_vocabulary()
     assert "gat" in vocab and "gatos" not in vocab
+    # Boolean path normalizes queries with the INDEX's analyzer (from the
+    # manifest): the inflected query matches via its Spanish stem
+    assert sorted(eng.boolean_query("gatos").tolist()) == [0, 2]
+    assert sorted(eng.boolean_query("gatos corriendo").tolist()) == [0, 2]
+    assert sorted(eng.boolean_query("biología").tolist()) == [3]
