@@ -769,7 +769,13 @@ def embedding_dedup(
     """Cosine near-dup removal: unit vectors are materialized ONCE as
     id-bucketed parquet; the random-hyperplane band shuffle carries
     (band_key, id) only; candidate pairs verify exact cosine by re-reading
-    the bucketed vectors in-task; distributed components pick survivors."""
+    the bucketed vectors in-task; distributed components pick survivors.
+
+    Sizing: pick ``num_planes`` so a band's value space
+    2^(num_planes/num_bands) is much larger than n/num_bands, or buckets
+    exceed ``bucket_cap`` and the anchor-star fallback costs recall —
+    e.g. 64 planes / 4 bands (16-bit bands) for ~10^5-10^9 vectors.  The
+    driver-contract default stays 16/4 to match the inlined SQL oracle."""
     units = ds.map_batches(
         stage_task_fn(UnitVectors, vec_col=vec_col, id_col=id_col),
         batch_format="pyarrow",

