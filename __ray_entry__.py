@@ -506,6 +506,20 @@ def q_media_pipeline(sf_dir: str) -> pa.Table:
     ).sort_by("media_id")
 
 
+def q_curated_corpus(sf_dir: str) -> pa.Table:
+    """The composed training-data curation pipeline: quality gate ->
+    language gate -> exact dedup -> MinHash near-dup dedup; surviving
+    doc_ids, fully SQL-oracled end to end."""
+    from searchengine_ray.ops.curate import curate_corpus
+
+    out = curate_corpus(_documents(sf_dir))
+    return pa.concat_tables(
+        list(out.map_batches(lambda b: b.select(["doc_id"]),
+                             batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow"))
+    ).sort_by("doc_id")
+
+
 def q_media_frames(sf_dir: str) -> pa.Table:
     """Video frame-offset sampling through the actor-pool stage.  The
     fake backend is pure arithmetic over sha256-derived metadata, so this
@@ -598,6 +612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_revenue": q_supplier_revenue,
         "media_pipeline": q_media_pipeline,
         "media_frames": q_media_frames,
+        "curated_corpus": q_curated_corpus,
     }
 
 
@@ -614,6 +629,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": oracles.minhash_dedup_sql(threshold=0.8),
         "ngram_jaccard_dedup": oracles.minhash_dedup_sql(
             threshold=0.8, verify="exact"),
+        "curated_corpus": oracles.curated_corpus_sql(),
         "simhash_dedup": oracles.simhash_dedup_sql(max_hamming=2),
         # driver test tables carry 64-dim embeddings at every sf
         "embedding_dedup": oracles.embedding_dedup_sql(64, threshold=0.97),

@@ -69,81 +69,88 @@ def token_counts(ds: ray.data.Dataset, text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def quality_signals(texts: list[str]) -> dict[str, np.ndarray]:
+    """Per-doc quality signal arrays (shared by quality_scores and the
+    curation pipeline): n_chars, n_tokens, mean token length, punctuation
+    ratio, stopword ratio, uppercase ratio, and a composite keep-score in
+    [0,1] (heuristics in the C4/Gopher-rules tradition)."""
+    stop = _LANG_PROFILES["en"]
+    n = len(texts)
+    n_chars = np.empty(n, dtype=np.int64)
+    n_tokens = np.empty(n, dtype=np.int64)
+    mean_tok = np.empty(n, dtype=np.float64)
+    punct = np.empty(n, dtype=np.float64)
+    stopr = np.empty(n, dtype=np.float64)
+    upper = np.empty(n, dtype=np.float64)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        n_chars[i] = len(t)
+        n_tokens[i] = len(toks)
+        mean_tok[i] = (sum(map(len, toks)) / len(toks)) if toks else 0.0
+        punct[i] = len(_PUNCT_RE.findall(t)) / max(1, len(t))
+        stopr[i] = (sum(1 for w in toks if w.lower() in stop) / len(toks)) if toks else 0.0
+        upper[i] = sum(1 for c in t if c.isupper()) / max(1, len(t))
+    score = (
+        np.clip(n_tokens / 50.0, 0, 1) * 0.3
+        + np.clip((mean_tok - 1.0) / 9.0, 0, 1) * 0.2
+        + (1.0 - np.clip(punct * 4.0, 0, 1)) * 0.2
+        + np.clip(stopr * 4.0, 0, 1) * 0.2
+        + (1.0 - np.clip(upper * 5.0, 0, 1)) * 0.1
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": mean_tok,
+        "punct_ratio": punct,
+        "stopword_ratio": stopr,
+        "upper_ratio": upper,
+        "quality_score": score,
+    }
+
+
 def quality_scores(ds: ray.data.Dataset, text_col: str = "text",
                    id_col: str = "doc_id") -> ray.data.Dataset:
-    """Per-doc quality signals: n_chars, n_tokens, mean token length,
-    punctuation ratio, stopword ratio, uppercase ratio, and a composite
-    keep-score in [0,1] (heuristics in the C4/Gopher-rules tradition)."""
-
-    stop = _LANG_PROFILES["en"]
+    """Per-doc quality signals table; see ``quality_signals``."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        n = len(texts)
-        n_chars = np.empty(n, dtype=np.int64)
-        n_tokens = np.empty(n, dtype=np.int64)
-        mean_tok = np.empty(n, dtype=np.float64)
-        punct = np.empty(n, dtype=np.float64)
-        stopr = np.empty(n, dtype=np.float64)
-        upper = np.empty(n, dtype=np.float64)
-        for i, t in enumerate(texts):
-            toks = t.split()
-            n_chars[i] = len(t)
-            n_tokens[i] = len(toks)
-            mean_tok[i] = (sum(map(len, toks)) / len(toks)) if toks else 0.0
-            punct[i] = len(_PUNCT_RE.findall(t)) / max(1, len(t))
-            stopr[i] = (sum(1 for w in toks if w.lower() in stop) / len(toks)) if toks else 0.0
-            upper[i] = sum(1 for c in t if c.isupper()) / max(1, len(t))
-        score = (
-            np.clip(n_tokens / 50.0, 0, 1) * 0.3
-            + np.clip((mean_tok - 1.0) / 9.0, 0, 1) * 0.2
-            + (1.0 - np.clip(punct * 4.0, 0, 1)) * 0.2
-            + np.clip(stopr * 4.0, 0, 1) * 0.2
-            + (1.0 - np.clip(upper * 5.0, 0, 1)) * 0.1
-        )
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "n_chars": pa.array(n_chars),
-                "n_tokens": pa.array(n_tokens),
-                "mean_token_len": pa.array(mean_tok),
-                "punct_ratio": pa.array(punct),
-                "stopword_ratio": pa.array(stopr),
-                "upper_ratio": pa.array(upper),
-                "quality_score": pa.array(score),
-            }
-        )
+        sig = quality_signals(batch.column(text_col).to_pylist())
+        return pa.table({id_col: batch.column(id_col),
+                         **{k: pa.array(v) for k, v in sig.items()}})
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def detect_langs(texts: list[str]) -> tuple[list[str], list[float]]:
+    """Stopword-profile language ID (shared helper): argmax over
+    per-language stopword hit ratios; 'und' when nothing matches."""
+    langs = sorted(_LANG_PROFILES)
+    out_lang, out_conf = [], []
+    for t in texts:
+        words = [w.lower() for w in t.split()]
+        if not words:
+            out_lang.append("und")
+            out_conf.append(0.0)
+            continue
+        scores = {
+            lg: sum(1 for w in words if w in _LANG_PROFILES[lg]) / len(words)
+            for lg in langs
+        }
+        best = max(langs, key=lambda lg: (scores[lg], lg))
+        if scores[best] == 0.0:
+            out_lang.append("und")
+            out_conf.append(0.0)
+        else:
+            out_lang.append(best)
+            out_conf.append(scores[best])
+    return out_lang, out_conf
+
+
 def detect_language(ds: ray.data.Dataset, text_col: str = "text",
                     id_col: str = "doc_id") -> ray.data.Dataset:
-    """Stopword-profile language ID: argmax over per-language stopword hit
-    ratios; 'und' (undetermined) when nothing matches."""
-
-    langs = sorted(_LANG_PROFILES)
+    """Language-ID table; see ``detect_langs``."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        out_lang, out_conf = [], []
-        for t in texts:
-            words = [w.lower() for w in t.split()]
-            if not words:
-                out_lang.append("und")
-                out_conf.append(0.0)
-                continue
-            scores = {
-                lg: sum(1 for w in words if w in _LANG_PROFILES[lg]) / len(words)
-                for lg in langs
-            }
-            best = max(langs, key=lambda lg: (scores[lg], lg))
-            if scores[best] == 0.0:
-                out_lang.append("und")
-                out_conf.append(0.0)
-            else:
-                out_lang.append(best)
-                out_conf.append(scores[best])
+        out_lang, out_conf = detect_langs(batch.column(text_col).to_pylist())
         return pa.table(
             {
                 id_col: batch.column(id_col),

@@ -27,10 +27,12 @@ from .ops.dedup import (
 
 M32 = MASK32 + 1  # 2^32
 
-# whitespace tokenization with 1-based positions (matches str.split())
-TOK_POS = r"""
+def tok_pos(source: str = "documents") -> str:
+    """Whitespace tokenization with 1-based positions (matches
+    str.split()) over any (doc_id, text) relation."""
+    return rf"""
 raw AS (
-  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') arr FROM documents
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') arr FROM {source}
 ),
 tokpos AS (
   SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS p
@@ -42,6 +44,10 @@ tok AS (
   FROM tokpos WHERE term <> ''
 )
 """
+
+
+# backwards-compatible constant form
+TOK_POS = tok_pos("documents")
 
 # 32-bit md5-derived token hash (dedup.md5_hash32)
 TH32 = """
@@ -85,10 +91,15 @@ def minhash_dedup_sql(
     shingle_k: int = 3,
     seed: int = 1234,
     verify: str = "estimate",
+    source: str = "documents",
+    prelude: str = "",
 ) -> str:
     """``verify="estimate"`` replays minhash_lsh_dedup (matching-signature
     fraction); ``verify="exact"`` replays ngram_jaccard_dedup (distinct
-    gram-set intersection-over-union on the same candidates)."""
+    gram-set intersection-over-union on the same candidates).  ``source``
+    is the (doc_id, text) relation to dedup; ``prelude`` injects extra
+    CTEs before it (used by curated_corpus_sql to define the filtered
+    subset)."""
     a, b = minhash_family(num_hashes, seed)
     fam_rows = ", ".join(
         f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_hashes)
@@ -97,7 +108,7 @@ def minhash_dedup_sql(
     assert shingle_k == 3, "oracle written for word 3-grams"
     return f"""
 WITH RECURSIVE
-{TOK_POS},
+{prelude}{tok_pos(source)},
 {TH32},
 hl AS (
   SELECT doc_id, list(h ORDER BY pos) AS hs, count(*) AS n
@@ -118,7 +129,7 @@ grams AS (
               ELSE list_reduce(hl.hs,
                                (x, y) -> (x * {FOLD_P} + y) % {M32})
          END AS g
-  FROM documents d LEFT JOIN hl USING (doc_id)
+  FROM {source} d LEFT JOIN hl USING (doc_id)
   WHERE coalesce(hl.n, 0) < {shingle_k}
 ),
 fam(i, fa, fb) AS (VALUES {fam_rows}),
@@ -144,8 +155,86 @@ cand AS (
     ON x.b = y.b AND x.k1 = y.k1 AND x.k2 = y.k2 AND x.doc_id < y.doc_id
 ),
 {_minhash_edges_sql(verify, threshold)},
-{_cc_sql("edges", "documents", "doc_id")}
+{_cc_sql("edges", source, "doc_id")}
 """
+
+
+def curated_corpus_sql(
+    min_quality: float = 0.3,
+    languages: tuple[str, ...] = ("en",),
+    threshold: float = 0.8,
+) -> str:
+    """Replay of ops.curate.curate_corpus: quality gate -> language gate
+    -> exact dedup -> MinHash near-dup dedup, as one composed query (the
+    gates as CTEs, the dedups as the existing oracle blocks applied to
+    the filtered subset)."""
+    from .ops.textstats import _LANG_PROFILES
+
+    stop_lit = ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES["en"]))
+    profile_rows = ", ".join(
+        f"('{lg}', '{w}')"
+        for lg in sorted(_LANG_PROFILES)
+        for w in sorted(_LANG_PROFILES[lg])
+    )
+    lang_lit = ", ".join(f"'{lg}'" for lg in languages)
+    prelude = rf"""
+q0 AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS arr
+  FROM documents
+),
+qsig AS (
+  SELECT doc_id, text,
+         least(greatest(len(arr) / 50.0, 0), 1) * 0.3
+         + least(greatest(((CASE WHEN len(arr) = 0 THEN 0.0
+              ELSE list_sum(list_transform(arr, x -> length(x))) * 1.0
+                   / len(arr) END) - 1.0) / 9.0, 0), 1) * 0.2
+         + (1.0 - least(greatest(len(regexp_extract_all(text, '[^\w\s]'))
+              * 1.0 / greatest(1, n_chars) * 4.0, 0), 1)) * 0.2
+         + least(greatest((CASE WHEN len(arr) = 0 THEN 0.0
+              ELSE len(list_filter(arr, x -> list_contains([{stop_lit}],
+                                                           lower(x)))) * 1.0
+                   / len(arr) END) * 4.0, 0), 1) * 0.2
+         + (1.0 - least(greatest(len(regexp_extract_all(text, '[A-Z]'))
+              * 1.0 / greatest(1, n_chars) * 5.0, 0), 1)) * 0.1 AS score
+  FROM q0
+),
+prof(lang, word) AS (VALUES {profile_rows}),
+lwords AS (
+  SELECT doc_id, unnest(list_transform(arr, x -> lower(x))) AS w FROM q0
+),
+lcnt AS (
+  SELECT t.doc_id, p.lang,
+         coalesce(sum(CASE WHEN pw.word IS NOT NULL THEN 1 ELSE 0 END), 0)
+             AS hits
+  FROM (SELECT DISTINCT doc_id FROM q0) t
+  CROSS JOIN (SELECT DISTINCT lang FROM prof) p
+  LEFT JOIN lwords wd ON wd.doc_id = t.doc_id
+  LEFT JOIN prof pw ON pw.lang = p.lang AND pw.word = wd.w
+  GROUP BY t.doc_id, p.lang
+),
+lbest AS (
+  SELECT doc_id, lang, ratio,
+         row_number() OVER (
+           PARTITION BY doc_id ORDER BY ratio DESC, lang DESC) AS rk
+  FROM (SELECT c.doc_id, c.lang,
+               CASE WHEN len(q.arr) = 0 THEN 0.0
+                    ELSE c.hits * 1.0 / len(q.arr) END AS ratio
+        FROM lcnt c JOIN q0 q USING (doc_id))
+),
+ldet AS (
+  SELECT doc_id, CASE WHEN ratio = 0.0 THEN 'und' ELSE lang END AS detected
+  FROM lbest WHERE rk = 1
+),
+gated AS (
+  SELECT q.doc_id, q.text FROM qsig q JOIN ldet l USING (doc_id)
+  WHERE q.score >= {min_quality} AND l.detected IN ({lang_lit})
+),
+exmin AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY text),
+filtered AS (SELECT g.doc_id, g.text FROM gated g JOIN exmin USING (doc_id)),
+"""
+    return minhash_dedup_sql(threshold=threshold, source="filtered",
+                             prelude=prelude)
 
 
 def _minhash_edges_sql(verify: str, threshold: float) -> str:

@@ -326,3 +326,62 @@ class TestEmbeddingDedup:
             for r in embedding_dedup(ds, threshold=0.99).take_all()
         )
         assert out == list(range(8))  # vec 8 (dup of 0) removed
+
+
+class TestCuration:
+    def test_composed_pipeline(self, ray_session):
+        """quality gate -> language gate -> exact dedup -> near-dup dedup
+        as one streaming composition."""
+        import ray.data
+
+        from searchengine_ray.ops.curate import curate_corpus
+
+        texts = [
+            # passes everything
+            "the quick brown fox jumps over the lazy dog and it runs on "
+            "through the field for a while as the sun sets in the west "
+            "and the birds come home to rest for the long quiet night",
+            # exact duplicate of 0 -> dropped by exact dedup
+            "the quick brown fox jumps over the lazy dog and it runs on "
+            "through the field for a while as the sun sets in the west "
+            "and the birds come home to rest for the long quiet night",
+            # too short -> dropped by quality gate
+            "tiny",
+            # Spanish -> dropped by language gate (languages=('en',))
+            "el perro corre por la casa y el gato duerme en una silla "
+            "mientras los vecinos hablan en el patio con una taza de "
+            "un buen cafe por la tarde como casi todos los dias del mes",
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+        out = sorted(
+            r["doc_id"]
+            for r in curate_corpus(
+                ray.data.from_arrow(tbl).repartition(2)
+            ).select_columns(["doc_id"]).take_all()
+        )
+        assert out == [0]
+
+    def test_gates_optional(self, ray_session):
+        import ray.data
+
+        from searchengine_ray.ops.curate import curate_corpus
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([0, 1], type=pa.int64()),
+                "text": pa.array(["corto", "otro texto"]),
+            }
+        )
+        out = sorted(
+            r["doc_id"]
+            for r in curate_corpus(
+                ray.data.from_arrow(tbl), min_quality=0.0,
+                languages=None, near_dup_threshold=None,
+            ).select_columns(["doc_id"]).take_all()
+        )
+        assert out == [0, 1]
