@@ -196,8 +196,11 @@ class Fingerprinter:
             {
                 self.id_col: batch.column(self.id_col),
                 "content_md5": pa.array(md5s),
-                "rolling_fingerprint": pa.array(self.rolling(texts),
-                                                type=pa.uint64()),
+                # int64, not uint64: fold values are < 2^32 and a signed
+                # column hashes identically to the oracle's ::BIGINT on
+                # any driver-side dtype normalization
+                "rolling_fingerprint": pa.array(
+                    self.rolling(texts).astype("int64"), type=pa.int64()),
             }
         )
 

@@ -394,7 +394,7 @@ fp AS (
   FROM hl
 )
 SELECT d.doc_id, md5(d.text) AS content_md5,
-       coalesce(f.fp, 0)::UBIGINT AS rolling_fingerprint
+       coalesce(f.fp, 0)::BIGINT AS rolling_fingerprint
 FROM documents d
 LEFT JOIN fp f USING (doc_id)
 ORDER BY d.doc_id
