@@ -548,9 +548,25 @@ def _reduce_runs(
         terms_global = np.empty(len(acc["terms"]), dtype=object)
         for t, gid in acc["terms"].items():
             terms_global[gid] = t
-        pos_all = acc["pos"][0] if len(acc["pos"]) == 1 else _as_array(
-            pa.chunked_array(acc["pos"])
-        )
+        if len(acc["pos"]) == 1:
+            pos_all = acc["pos"][0]
+        else:
+            # map tasks emit pa.binary() (32-bit offsets) when a file's
+            # encoded positions fit in 2 GB, else large_binary; a group
+            # merging chunks of mixed types — or whose combined blobs
+            # exceed 2^31 bytes — must widen to large_binary first
+            # (offsets-only cost; values buffers are shared)
+            total = sum(c.nbytes for c in acc["pos"])
+            mixed = len({str(c.type) for c in acc["pos"]}) > 1
+            if mixed or total >= 2**31 - 1:
+                chunks = [
+                    c if pa.types.is_large_binary(c.type)
+                    else c.cast(pa.large_binary())
+                    for c in acc["pos"]
+                ]
+            else:
+                chunks = acc["pos"]
+            pos_all = _as_array(pa.chunked_array(chunks))
         parts.append(
             inner(
                 gkey,

@@ -217,6 +217,18 @@ def ivf_query(
             "bytes_total": sum(os.path.getsize(f) for f in all_files),
         }
     )
+    if not read_files:
+        # every probed cell partition is missing/empty (tiny index or
+        # pathological centroid fit): return an empty, correctly-typed
+        # result rather than crashing in read_parquet([])
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+                "rank": pa.array([], type=pa.int64()),
+            }
+        )
     q_ref = ray.put(q)
     probe_ref = ray.put(probe)
     dim = meta["dim"]

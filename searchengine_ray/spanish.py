@@ -156,7 +156,9 @@ def stem(word: str) -> str:
             step1_done = True
         elif action == "del2_ic" and in_r2(ln):
             word = word[:-ln]
-            if word.endswith("ic") and in_r2(ln + 2):
+            # residual checks after truncation use the residual's own
+            # length (in_r2 closes over the already-shortened word)
+            if word.endswith("ic") and in_r2(2):
                 word = word[:-2]
             step1_done = True
         elif action == "log" and in_r2(ln):
@@ -171,31 +173,31 @@ def stem(word: str) -> str:
         elif action == "amente" and in_r1(ln):
             word = word[:-ln]
             step1_done = True
-            if word.endswith("iv") and in_r2(ln + 2):
+            if word.endswith("iv") and in_r2(2):
                 word = word[:-2]
-                if word.endswith("at") and in_r2(ln + 4):
+                if word.endswith("at") and in_r2(2):
                     word = word[:-2]
-            elif any(word.endswith(p) and in_r2(ln + 2)
+            elif any(word.endswith(p) and in_r2(2)
                      for p in ("os", "ic", "ad")):
                 word = word[:-2]
         elif action == "mente" and in_r2(ln):
             word = word[:-ln]
             step1_done = True
             for p in ("ante", "able", "ible"):
-                if word.endswith(p) and in_r2(ln + 4):
+                if word.endswith(p) and in_r2(4):
                     word = word[:-4]
                     break
         elif action == "idad" and in_r2(ln):
             word = word[:-ln]
             step1_done = True
             for p in ("abil", "ic", "iv"):
-                if word.endswith(p) and in_r2(ln + len(p)):
+                if word.endswith(p) and in_r2(len(p)):
                     word = word[: -len(p)]
                     break
         elif action == "iva" and in_r2(ln):
             word = word[:-ln]
             step1_done = True
-            if word.endswith("at") and in_r2(ln + 2):
+            if word.endswith("at") and in_r2(2):
                 word = word[:-2]
         break
 
@@ -246,11 +248,91 @@ def stem(word: str) -> str:
 _ALPHA_RE = re.compile(r"[a-záéíóúüñ]+", re.IGNORECASE)
 
 
+# Irregular-verb lemma exceptions: the reference lemmatizes with spaCy
+# (``es_core_news_sm``), so inflected irregular forms collapse to their
+# lemma ("es"/"son"/"era" -> "ser"); suffix stripping alone cannot do
+# that.  This small public table (standard Spanish conjugation, RAE
+# paradigm) routes the worst offenders to the lemma before stemming.
+# Ambiguous preterite forms shared by ser/ir (fui, fue, fueron, ...)
+# are mapped to "ser" -- a context-free table cannot disambiguate where
+# spaCy could; divergence documented here.
+_LEMMA_EXCEPTIONS = {
+    # ser
+    "soy": "ser", "eres": "ser", "es": "ser", "somos": "ser",
+    "sois": "ser", "son": "ser", "era": "ser", "eras": "ser",
+    "éramos": "ser", "erais": "ser", "eran": "ser", "fui": "ser",
+    "fuiste": "ser", "fue": "ser", "fuimos": "ser", "fuisteis": "ser",
+    "fueron": "ser", "seré": "ser", "será": "ser", "serán": "ser",
+    "sería": "ser", "serían": "ser", "sea": "ser", "sean": "ser",
+    "fuera": "ser", "fueran": "ser", "fuese": "ser", "fuesen": "ser",
+    "sido": "ser", "siendo": "ser",
+    # ir
+    "voy": "ir", "vas": "ir", "va": "ir", "vamos": "ir", "vais": "ir",
+    "van": "ir", "iba": "ir", "ibas": "ir", "íbamos": "ir",
+    "iban": "ir", "iré": "ir", "irá": "ir", "irán": "ir",
+    "vaya": "ir", "vayan": "ir", "ido": "ir", "yendo": "ir",
+    # estar
+    "estoy": "estar", "estás": "estar", "está": "estar",
+    "estamos": "estar", "estáis": "estar", "están": "estar",
+    "estuve": "estar", "estuvo": "estar", "estuvieron": "estar",
+    "estaba": "estar", "estaban": "estar", "esté": "estar",
+    "estén": "estar",
+    # tener
+    "tengo": "tener", "tienes": "tener", "tiene": "tener",
+    "tenemos": "tener", "tenéis": "tener", "tienen": "tener",
+    "tuve": "tener", "tuvo": "tener", "tuvimos": "tener",
+    "tuvieron": "tener", "tenía": "tener", "tenían": "tener",
+    "tendrá": "tener", "tendrán": "tener", "tenga": "tener",
+    "tengan": "tener", "tenido": "tener", "teniendo": "tener",
+    # hacer
+    "hago": "hacer", "haces": "hacer", "hace": "hacer",
+    "hacemos": "hacer", "hacen": "hacer", "hice": "hacer",
+    "hizo": "hacer", "hicimos": "hacer", "hicieron": "hacer",
+    "hacía": "hacer", "hacían": "hacer", "hará": "hacer",
+    "harán": "hacer", "haga": "hacer", "hagan": "hacer",
+    "hecho": "hacer", "haciendo": "hacer",
+    # decir
+    "digo": "decir", "dices": "decir", "dice": "decir",
+    "decimos": "decir", "dicen": "decir", "dije": "decir",
+    "dijo": "decir", "dijimos": "decir", "dijeron": "decir",
+    "decía": "decir", "decían": "decir", "dirá": "decir",
+    "dirán": "decir", "diga": "decir", "digan": "decir",
+    "dicho": "decir", "diciendo": "decir",
+    # poder
+    "puedo": "poder", "puedes": "poder", "puede": "poder",
+    "podemos": "poder", "pueden": "poder", "pude": "poder",
+    "pudo": "poder", "pudimos": "poder", "pudieron": "poder",
+    "podía": "poder", "podían": "poder", "podrá": "poder",
+    "podrán": "poder", "pueda": "poder", "puedan": "poder",
+    "podido": "poder", "pudiendo": "poder",
+    # haber
+    "he": "haber", "has": "haber", "ha": "haber", "hemos": "haber",
+    "habéis": "haber", "han": "haber", "hay": "haber",
+    "había": "haber", "habían": "haber", "hubo": "haber",
+    "habrá": "haber", "habrán": "haber", "haya": "haber",
+    "hayan": "haber", "habido": "haber", "habiendo": "haber",
+    # dar
+    "doy": "dar", "das": "dar", "da": "dar", "damos": "dar",
+    "dan": "dar", "di": "dar", "dio": "dar", "dimos": "dar",
+    "dieron": "dar", "daba": "dar", "daban": "dar", "dará": "dar",
+    "darán": "dar", "dé": "dar", "den": "dar", "dado": "dar",
+    "dando": "dar",
+    # saber
+    "sé": "saber", "sabes": "saber", "sabe": "saber",
+    "sabemos": "saber", "saben": "saber", "supe": "saber",
+    "supo": "saber", "supieron": "saber", "sabía": "saber",
+    "sabían": "saber", "sabrá": "saber", "sabrán": "saber",
+    "sepa": "saber", "sepan": "saber", "sabido": "saber",
+    "sabiendo": "saber",
+}
+
+
 def _normalize(token: str) -> str:
     """Term normalization.  Reference: spaCy lemma
-    (``nlp(token)[0].lemma_``); here: Snowball Spanish stem.  Drop-in
-    spaCy upgrade: replace the body with the documented call."""
-    return stem(token)
+    (``nlp(token)[0].lemma_``); here: irregular-lemma exception table
+    then Snowball Spanish stem.  Drop-in spaCy upgrade: replace the
+    body with the documented call."""
+    return stem(_LEMMA_EXCEPTIONS.get(token, token))
 
 
 def analyze_document_spanish(content: str, cache=None):

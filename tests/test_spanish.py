@@ -12,7 +12,40 @@ STEM_VECTORS = [
     ("fácilmente", "facil"), ("rápidamente", "rapid"),
     ("amable", "amabl"), ("importante", "import"),
     ("biología", "biolog"), ("nacional", "nacional"),
+    # residual-suffix paths (step-1 second deletions in R2) -- these
+    # exercise the in_r2(residual-length) checks after truncation
+    ("comunicación", "comun"),      # ación -> residual ic
+    ("efectividad", "efect"),       # idad -> residual iv
+    ("relativamente", "relat"),     # amente -> residual iv -> at
+    ("generosamente", "gener"),     # amente -> residual os
+    ("lógicamente", "logic"),       # amente -> residual ic? (ic not in R2 here)
+    ("responsabilidad", "respons"),  # idad -> residual abil
+    ("agresividad", "agres"),       # idad -> residual iv
+    ("notablemente", "notabl"),     # mente; residual able NOT in R2
+    ("probablemente", "probabl"),   # mente; residual able NOT in R2
 ]
+
+IRREGULAR_VECTORS = [
+    # irregular verb forms route through the lemma-exception table
+    ("es", "ser"), ("son", "ser"), ("fue", "ser"), ("era", "ser"),
+    ("van", "ir"), ("iba", "ir"), ("tiene", "tener"), ("tuvo", "tener"),
+    ("hizo", "hacer"), ("dijo", "decir"), ("puede", "poder"),
+    ("hay", "haber"), ("dio", "dar"), ("supo", "saber"),
+]
+
+
+@pytest.mark.parametrize("word,lemma", IRREGULAR_VECTORS)
+def test_irregular_lemma_exceptions(word, lemma):
+    from searchengine_ray.spanish import _normalize, stem
+
+    assert _normalize(word) == stem(lemma)
+
+
+def test_irregular_forms_collapse_to_same_term():
+    from searchengine_ray.spanish import _normalize
+
+    assert len({_normalize(w) for w in ("es", "son", "era", "fueron")}) == 1
+    assert len({_normalize(w) for w in ("tiene", "tuvo", "tenían")}) == 1
 
 
 @pytest.mark.parametrize("word,want", STEM_VECTORS)
