@@ -342,8 +342,9 @@ def _query_vectors(sf_dir: str) -> tuple[np.ndarray, list[int]]:
                         columns=["vec_id", "embedding"])
     ids = tbl.column("vec_id").to_numpy()
     take = [int(np.flatnonzero(ids == q)[0]) for q in (0, 1, 2)]
-    vecs = np.asarray(tbl.take(take).column("embedding").to_pylist(),
-                      dtype=np.float64)
+    from searchengine_ray.ops.similarity import vec_matrix
+
+    vecs = vec_matrix(tbl.take(take).column("embedding"))
     return vecs, [0, 1, 2]
 
 

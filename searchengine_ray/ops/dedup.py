@@ -705,8 +705,9 @@ class UnitVectors:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch.column(self.vec_col).to_pylist(),
-                          dtype=np.float64)
+        from .similarity import vec_matrix
+
+        vecs = vec_matrix(batch.column(self.vec_col))
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         unit = vecs / np.where(norms == 0, 1.0, norms)
         return pa.table(

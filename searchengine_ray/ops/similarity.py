@@ -28,6 +28,21 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.where(norms == 0, 1.0, norms)
 
 
+def vec_matrix(col, dim: int | None = None) -> np.ndarray:
+    """Vectorized decode of a list<float>/fixed_size_list column to an
+    (n, dim) float64 matrix — flat values buffer reshaped, no per-row
+    Python objects (float32 -> float64 widening is exact, so results
+    are bit-identical to the old ``to_pylist`` path)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if len(col) == 0:
+        return np.empty((0, dim or 0), dtype=np.float64)
+    d = dim if dim is not None else len(col[0])
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(
+        flat.astype(np.float64, copy=False).reshape(-1, d))
+
+
 def _topk_merge(rows: list[dict], k: int) -> pa.Table:
     """Merge per-batch candidate rows into global top-k per query."""
     by_q: dict[int, list[tuple[float, int]]] = {}
@@ -68,7 +83,7 @@ def knn_bruteforce(
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(q_ref)
-        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = vec_matrix(batch.column(vec_col))
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         unit = _normalize(vecs)
         sims = qm @ unit.T  # (nq, nbatch)
@@ -142,7 +157,7 @@ def build_ivf_index(
 
     def assign(batch: pa.Table) -> pa.Table:
         cents = ray.get(cent_ref)
-        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        vecs = vec_matrix(batch.column(vec_col))
         unit = _normalize(vecs)
         cell = np.argmax(unit @ cents.T, axis=1).astype(np.int32)
         return pa.table(
