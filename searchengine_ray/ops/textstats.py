@@ -45,9 +45,23 @@ _LANG_PROFILES = {
            "zijn", "met", "voor", "niet", "aan", "er", "ook", "als", "maar",
            "bij"},
 }
-# Known limitation: whitespace-token stopword profiles cannot detect CJK
-# (no whitespace tokenization) — that needs character n-gram profiles,
-# which the SQL-mirrored word-join design deliberately does not attempt.
+# CJK languages have no whitespace tokenization, so the stopword profiles
+# can't see them; they are detected FIRST from character-script counts over
+# fixed codepoint ranges (below), then the stopword path handles the rest.
+# Ranges are chosen to be expressible verbatim in RE2 (`[\x{3040}-\x{30FF}]`)
+# so the DuckDB oracle replays the exact same counts.
+#   kana   = hiragana U+3040-309F + katakana U+30A0-30FF (contiguous)
+#   hangul = syllables U+AC00-D7A3 + jamo U+1100-11FF + compat U+3130-318F
+#   han    = CJK unified ideographs U+4E00-9FFF
+# Decision order (ja before ko/zh: Japanese text mixes kanji with kana,
+# while Chinese/Korean text contains essentially no kana):
+#   kana/len >= 0.05   -> ja, confidence (kana+han)/len
+#   hangul/len >= 0.05 -> ko, confidence hangul/len
+#   han/len >= 0.05    -> zh, confidence han/len
+# Reference parity target: langdetect at engine/text/preprocessing.py:21-24
+# (which handles CJK); this is the same decision shape with a deterministic,
+# SQL-mirrorable score.
+_CJK_THRESHOLD = 0.05
 
 
 def token_counts(ds: ray.data.Dataset, text_col: str = "text",
@@ -120,12 +134,41 @@ def quality_scores(ds: ray.data.Dataset, text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _cjk_counts(t: str) -> tuple[int, int, int]:
+    """(kana, hangul, han) character counts, vectorized over the doc's
+    codepoints (one utf-32 decode + range masks; no per-char Python)."""
+    cp = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+    kana = int(((cp >= 0x3040) & (cp <= 0x30FF)).sum())
+    hangul = int(
+        (((cp >= 0xAC00) & (cp <= 0xD7A3))
+         | ((cp >= 0x1100) & (cp <= 0x11FF))
+         | ((cp >= 0x3130) & (cp <= 0x318F))).sum()
+    )
+    han = int(((cp >= 0x4E00) & (cp <= 0x9FFF)).sum())
+    return kana, hangul, han
+
+
 def detect_langs(texts: list[str]) -> tuple[list[str], list[float]]:
-    """Stopword-profile language ID (shared helper): argmax over
+    """Language ID (shared helper): CJK scripts first via codepoint-range
+    ratios (see _CJK_THRESHOLD block comment), then argmax over
     per-language stopword hit ratios; 'und' when nothing matches."""
     langs = sorted(_LANG_PROFILES)
     out_lang, out_conf = [], []
     for t in texts:
+        kana, hangul, han = _cjk_counts(t)
+        n = max(1, len(t))
+        if kana / n >= _CJK_THRESHOLD:
+            out_lang.append("ja")
+            out_conf.append((kana + han) / n)
+            continue
+        if hangul / n >= _CJK_THRESHOLD:
+            out_lang.append("ko")
+            out_conf.append(hangul / n)
+            continue
+        if han / n >= _CJK_THRESHOLD:
+            out_lang.append("zh")
+            out_conf.append(han / n)
+            continue
         words = [w.lower() for w in t.split()]
         if not words:
             out_lang.append("und")

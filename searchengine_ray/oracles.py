@@ -236,9 +236,25 @@ lbest AS (
                     ELSE c.hits * 1.0 / len(q.arr) END AS ratio
         FROM lcnt c JOIN q0 q USING (doc_id))
 ),
+lcjk AS (
+  SELECT doc_id,
+         length(text) - length(regexp_replace(text,
+             '[\x{{3040}}-\x{{30FF}}]', '', 'g')) AS kana,
+         length(text) - length(regexp_replace(text,
+             '[\x{{AC00}}-\x{{D7A3}}\x{{1100}}-\x{{11FF}}\x{{3130}}-\x{{318F}}]',
+             '', 'g')) AS hangul,
+         length(text) - length(regexp_replace(text,
+             '[\x{{4E00}}-\x{{9FFF}}]', '', 'g')) AS han,
+         greatest(1, length(text)) AS nc
+  FROM q0
+),
 ldet AS (
-  SELECT doc_id, CASE WHEN ratio = 0.0 THEN 'und' ELSE lang END AS detected
-  FROM lbest WHERE rk = 1
+  SELECT b.doc_id,
+         CASE WHEN c.kana * 1.0 / c.nc >= 0.05 THEN 'ja'
+              WHEN c.hangul * 1.0 / c.nc >= 0.05 THEN 'ko'
+              WHEN c.han * 1.0 / c.nc >= 0.05 THEN 'zh'
+              WHEN ratio = 0.0 THEN 'und' ELSE lang END AS detected
+  FROM lbest b JOIN lcjk c USING (doc_id) WHERE rk = 1
 ),
 gated AS (
   SELECT q.doc_id, q.text FROM qsig q JOIN ldet l USING (doc_id)
@@ -464,8 +480,23 @@ def detect_language_sql() -> str:
         for w in sorted(_LANG_PROFILES[lg]):
             rows.append(f"('{lg}', '{w}')")
     profile_rows = ", ".join(rows)
+    # CJK codepoint-range counts: same ranges and 0.05 threshold as
+    # textstats._cjk_counts / _CJK_THRESHOLD (RE2 \x{...} classes count
+    # the identical codepoints the numpy range masks count)
     return rf"""
 WITH profiles(lang, word) AS (VALUES {profile_rows}),
+cjk AS (
+  SELECT doc_id,
+         length(text) - length(regexp_replace(text,
+             '[\x{{3040}}-\x{{30FF}}]', '', 'g')) AS kana,
+         length(text) - length(regexp_replace(text,
+             '[\x{{AC00}}-\x{{D7A3}}\x{{1100}}-\x{{11FF}}\x{{3130}}-\x{{318F}}]',
+             '', 'g')) AS hangul,
+         length(text) - length(regexp_replace(text,
+             '[\x{{4E00}}-\x{{9FFF}}]', '', 'g')) AS han,
+         greatest(1, length(text)) AS n_chars
+  FROM documents
+),
 toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -496,9 +527,19 @@ ratios AS (
          ) AS rk
   FROM counts c JOIN nword n USING (doc_id)
 )
-SELECT doc_id,
-       CASE WHEN ratio = 0.0 THEN 'und' ELSE lang END AS detected_lang,
-       round(CASE WHEN ratio = 0.0 THEN 0.0 ELSE ratio END, 6)
+SELECT r.doc_id,
+       CASE WHEN c.kana * 1.0 / c.n_chars >= 0.05 THEN 'ja'
+            WHEN c.hangul * 1.0 / c.n_chars >= 0.05 THEN 'ko'
+            WHEN c.han * 1.0 / c.n_chars >= 0.05 THEN 'zh'
+            WHEN ratio = 0.0 THEN 'und' ELSE lang END AS detected_lang,
+       round(CASE WHEN c.kana * 1.0 / c.n_chars >= 0.05
+                      THEN (c.kana + c.han) * 1.0 / c.n_chars
+                  WHEN c.hangul * 1.0 / c.n_chars >= 0.05
+                      THEN c.hangul * 1.0 / c.n_chars
+                  WHEN c.han * 1.0 / c.n_chars >= 0.05
+                      THEN c.han * 1.0 / c.n_chars
+                  WHEN ratio = 0.0 THEN 0.0 ELSE ratio END, 6)
            AS lang_confidence
-FROM ratios WHERE rk = 1 ORDER BY doc_id
+FROM ratios r JOIN cjk c ON c.doc_id = r.doc_id
+WHERE rk = 1 ORDER BY r.doc_id
 """

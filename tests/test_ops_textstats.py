@@ -139,17 +139,65 @@ class TestLanguageIdRealText:
         got = {langs[i]: out[i] for i in range(len(langs))}
         assert got == {lg: lg for lg in langs}, got
 
-    def test_cjk_is_undetermined_by_design(self, ray_session):
+    # Real-text CJK samples (public-domain sentence fragments): Japanese
+    # mixes kanji with kana, Chinese is pure han, Korean is hangul.
+    CJK_SAMPLES = {
+        "ja": "吾輩は猫である。名前はまだ無い。どこで生れたか見当がつかぬ。",
+        "zh": "这是一个中文句子没有空格分词，包含很多汉字的例子。",
+        "ko": "나는 한국어를 공부하고 있습니다. 서울은 대한민국의 수도입니다.",
+    }
+
+    def test_detects_cjk_languages(self, ray_session):
         import pyarrow as pa
         import ray.data
 
         from searchengine_ray.ops.textstats import detect_language
 
+        langs = sorted(self.CJK_SAMPLES)
         tbl = pa.table(
             {
-                "doc_id": pa.array([0], type=pa.int64()),
-                "text": pa.array(["这是一个中文句子没有空格分词"]),
+                "doc_id": pa.array(range(len(langs)), type=pa.int64()),
+                "text": pa.array([self.CJK_SAMPLES[lg] for lg in langs]),
             }
         )
-        out = detect_language(ray.data.from_arrow(tbl)).take_all()
-        assert out[0]["detected_lang"] == "und"
+        out = {r["doc_id"]: r for r in
+               detect_language(ray.data.from_arrow(tbl)).take_all()}
+        got = {langs[i]: out[i]["detected_lang"] for i in range(len(langs))}
+        assert got == {lg: lg for lg in langs}, got
+        # CJK confidences are script-char ratios — high for pure-script text
+        assert all(out[i]["lang_confidence"] > 0.5 for i in range(len(langs)))
+
+    def test_kana_beats_han_for_japanese(self, ray_session):
+        """Japanese text is mostly kanji by character count in some
+        registers; the kana-first decision must still call it ja."""
+        from searchengine_ray.ops.textstats import detect_langs
+
+        langs, confs = detect_langs(["日本経済新聞の記事です"])  # 2 kana, 9 kanji
+        assert langs == ["ja"]
+
+    def test_cjk_oracle_parity(self, ray_session):
+        """detect_langs and the DuckDB oracle agree on mixed CJK + latin
+        + edge-case docs (threshold boundaries, empty, digits-only)."""
+        import duckdb
+        import pyarrow as pa
+
+        from searchengine_ray import oracles
+        from searchengine_ray.ops.textstats import detect_langs
+
+        texts = (
+            list(self.CJK_SAMPLES.values())
+            + list(self.SAMPLES.values())
+            + ["", "12345 #### !!!",
+               "mostly english text の with one kana char here and there",
+               "カタカナだけのテキスト",
+               "안녕하세요", "漢字"]
+        )
+        py_langs, py_confs = detect_langs(texts)
+        tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                        "text": pa.array(texts)})
+        con = duckdb.connect()
+        con.register("documents", tbl)
+        rows = con.execute(oracles.detect_language_sql()).fetchall()
+        for i, (doc_id, sql_lang, sql_conf) in enumerate(rows):
+            assert sql_lang == py_langs[i], (i, texts[i], sql_lang, py_langs[i])
+            assert abs(float(sql_conf) - round(py_confs[i], 6)) < 1e-9
