@@ -487,8 +487,9 @@ def q_supplier_revenue(sf_dir: str) -> pa.Table:
 
 def q_media_pipeline(sf_dir: str) -> pa.Table:
     """Multimodal plumbing: synthesize media rows from documents, run the
-    image decode/resize actor stage (fake backend), return per-media mean
-    intensity (rows-only check)."""
+    image decode/resize actor stage (fake backend = tiled sha256 digest
+    pixels), return per-media mean intensity — which equals the mean of
+    the 32 digest bytes exactly, so this path is fully SQL-oracled."""
     from searchengine_ray.ops.multimodal import (
         ImageDecodeResize,
         media_stage,
@@ -558,6 +559,41 @@ def q_media_frames(sf_dir: str) -> pa.Table:
     ).sort_by([("media_id", "ascending"), ("frame_idx", "ascending")])
 
 
+def q_media_audio(sf_dir: str) -> pa.Table:
+    """Audio feature extraction through the actor-pool stage (fake
+    backend = centered/scaled sha256 digest bytes), exploded to
+    (media_id, feature_idx, feature) rows — fully SQL-oracled."""
+    from searchengine_ray.ops.multimodal import (
+        AudioFeatures,
+        media_stage,
+        synthesize_media,
+    )
+
+    media = synthesize_media(_documents(sf_dir))
+    out = media_stage(media, AudioFeatures, "audio", batch_size=64)
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b.column("media_id").to_numpy(zero_copy_only=False)
+        col = b.column("features")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col[0]) if len(col) else 0
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "media_id": pa.array(np.repeat(ids, n), type=pa.int64()),
+                "feature_idx": pa.array(np.tile(np.arange(n), len(ids)),
+                                        type=pa.int64()),
+                "feature": pa.array(flat, type=pa.float64()),
+            }
+        )
+
+    return pa.concat_tables(
+        list(out.map_batches(explode, batch_format="pyarrow")
+             .iter_batches(batch_format="pyarrow"))
+    ).sort_by([("media_id", "ascending"), ("feature_idx", "ascending")])
+
+
 def entry() -> Any:
     """Flagship: reference-analyzer index over sf0.001 documents + one BM25
     query; returns the scored top-k as a pandas DataFrame."""
@@ -613,6 +649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_revenue": q_supplier_revenue,
         "media_pipeline": q_media_pipeline,
         "media_frames": q_media_frames,
+        "media_audio": q_media_audio,
         "curated_corpus": q_curated_corpus,
     }
 
@@ -637,8 +674,37 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints_rolling": oracles.fingerprints_rolling_sql(),
         "quality_full": oracles.quality_full_sql(),
         "detect_language": oracles.detect_language_sql(),
-        # the video fake backend is exact arithmetic over sha256-derived
-        # metadata: synthesize -> kind dispatch -> frame offsets, in SQL
+        # every media fake backend is exact arithmetic over the sha256
+        # payload digest, so the whole media family is SQL-replayable:
+        # image mean intensity = mean of the 32 digest bytes (tiled
+        # pixels, 3072 = 96*32), audio feature j = (byte j - 127.5)/128,
+        # video frame offsets = duration arithmetic
+        "media_pipeline": """
+            WITH m AS (
+              SELECT doc_id AS media_id, sha256(text) AS hx
+              FROM documents
+              WHERE ('0x' || substring(sha256(text), 1, 2))::INT % 3 = 0
+            ),
+            b AS (
+              SELECT media_id,
+                     ('0x' || substring(hx, 2 * i.range + 1, 2))::INT AS byte
+              FROM m CROSS JOIN range(0, 32) i
+            )
+            SELECT media_id, avg(byte) AS mean_intensity
+            FROM b GROUP BY media_id ORDER BY media_id
+        """,
+        "media_audio": """
+            WITH m AS (
+              SELECT doc_id AS media_id, sha256(text) AS hx
+              FROM documents
+              WHERE ('0x' || substring(sha256(text), 1, 2))::INT % 3 = 1
+            )
+            SELECT media_id, i.range::BIGINT AS feature_idx,
+                   (('0x' || substring(hx, 2 * i.range + 1, 2))::INT
+                    - 127.5) / 128.0 AS feature
+            FROM m CROSS JOIN range(0, 16) i
+            ORDER BY media_id, feature_idx
+        """,
         "media_frames": """
             WITH m AS (
               SELECT doc_id AS media_id,

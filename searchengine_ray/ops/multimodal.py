@@ -3,11 +3,12 @@ columns with typed metadata, processed by actor-pool map_batches stages.
 
 The decode libraries (Pillow, ffmpeg, torchaudio...) are NOT in this
 container, so the actual byte->pixels/samples decode is stubbed: each stage
-has a ``backend`` switch — ``"fake"`` (deterministic, content-derived
-output; default, fully tested) or ``"real"`` (raises NotImplementedError
-with the exact library call to drop in).  Everything Ray-side — schema,
-small-batch sizing for large payloads, per-actor init, output layout — is
-real.
+has a ``backend`` switch — ``"fake"`` (deterministic content ARITHMETIC
+over the sha256 payload digest — no seeded RNG — so every fake path is
+replayable by the DuckDB oracles; default, fully tested) or ``"real"``
+(raises NotImplementedError with the exact library call to drop in).
+Everything Ray-side — schema, small-batch sizing for large payloads,
+per-actor init, Arrow-native output layout — is real.
 """
 
 from __future__ import annotations
@@ -87,26 +88,35 @@ class ImageDecodeResize:
                 "drop-in: PIL.Image.open(io.BytesIO(payload)).convert('RGB')"
                 ".resize(self.target)"
             )
-        # deterministic fake: pixels seeded by payload hash
-        seed = int.from_bytes(hashlib.blake2b(payload, digest_size=8).digest(),
-                              "big")
-        rng = np.random.default_rng(seed)
-        return rng.integers(0, 256, size=(*self.target, 3), dtype=np.uint8)
+        # deterministic fake by content ARITHMETIC (not seeded RNG): the
+        # 32 sha256 payload bytes tiled to the target size.  With the
+        # default 32x32x3 target (3072 = 96*32 pixels) mean_intensity is
+        # exactly mean(digest bytes), so the whole image path is
+        # replayable in the DuckDB oracle (__ray_entry__ media_pipeline).
+        d = np.frombuffer(hashlib.sha256(payload).digest(), dtype=np.uint8)
+        size = self.target[0] * self.target[1] * 3
+        return np.tile(d, (size + 31) // 32)[:size].reshape(*self.target, 3)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pay = batch.column("payload").to_pylist()
         ws = batch.column("width").to_pylist()
         hs = batch.column("height").to_pylist()
-        feats, means = [], []
-        for p, w, h in zip(pay, ws, hs):
-            img = self._decode(p, w, h)
-            feats.append(img.reshape(-1).tolist())
-            means.append(float(img.mean()))
+        size = self.target[0] * self.target[1] * 3
+        flat = np.empty((len(pay), size), dtype=np.uint8)
+        for i, (p, w, h) in enumerate(zip(pay, ws, hs)):
+            flat[i] = self._decode(p, w, h).reshape(-1)
+        # Arrow-native pixel layout: one FixedSizeListArray over the flat
+        # uint8 buffer (no per-pixel Python objects; VERDICT r2 #9)
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
-                "pixels": pa.array(feats, type=pa.list_(pa.uint8())),
-                "mean_intensity": pa.array(means, type=pa.float64()),
+                "pixels": pa.FixedSizeListArray.from_arrays(
+                    pa.array(flat.reshape(-1), type=pa.uint8()), size
+                ),
+                "mean_intensity": pa.array(
+                    flat.mean(axis=1, dtype=np.float64),
+                    type=pa.float64(),
+                ),
             }
         )
 
@@ -121,21 +131,24 @@ class AudioFeatures:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pay = batch.column("payload").to_pylist()
-        feats = []
-        for p in pay:
+        n = self.n_features
+        feats = np.empty((len(pay), n), dtype=np.float64)
+        for i, p in enumerate(pay):
             if self.backend == "real":
                 raise NotImplementedError(
                     "drop-in: librosa.feature.mfcc(y=decode(payload), "
                     "n_mfcc=self.n_features).mean(axis=1)"
                 )
-            seed = int.from_bytes(
-                hashlib.blake2b(p, digest_size=8).digest(), "big")
-            rng = np.random.default_rng(seed)
-            feats.append(rng.standard_normal(self.n_features).tolist())
+            # content arithmetic (SQL-replayable, like the image fake):
+            # feature j = centered/scaled sha256 payload byte j
+            d = np.frombuffer(hashlib.sha256(p).digest(), dtype=np.uint8)
+            feats[i] = (np.tile(d, (n + 31) // 32)[:n] - 127.5) / 128.0
         return pa.table(
             {
                 "media_id": batch.column("media_id"),
-                "features": pa.array(feats, type=pa.list_(pa.float64())),
+                "features": pa.FixedSizeListArray.from_arrays(
+                    pa.array(feats.reshape(-1), type=pa.float64()), n
+                ),
             }
         )
 

@@ -62,6 +62,40 @@ class TestImageStage:
         with pytest.raises(NotImplementedError):
             ImageDecodeResize(backend="real")._decode(b"x", 1, 1)
 
+    def test_mean_intensity_is_digest_mean(self, media_ds):
+        """The content-arithmetic fake makes mean_intensity exactly the
+        mean of the 32 sha256 payload bytes (the SQL oracle's value)."""
+        import hashlib
+
+        import numpy as np
+
+        from searchengine_ray.ops.multimodal import (
+            ImageDecodeResize,
+            media_stage,
+        )
+
+        payloads = {r["media_id"]: r["payload"]
+                    for r in media_ds.take_all() if r["kind"] == "image"}
+        out = media_stage(
+            media_ds, ImageDecodeResize, "image", batch_size=8
+        ).take_all()
+        for r in out:
+            d = np.frombuffer(
+                hashlib.sha256(payloads[r["media_id"]]).digest(),
+                dtype=np.uint8,
+            )
+            assert r["mean_intensity"] == d.mean()
+
+    def test_pixels_are_fixed_size_list(self, media_ds):
+        from searchengine_ray.ops.multimodal import (
+            ImageDecodeResize,
+            media_stage,
+        )
+
+        out = media_stage(media_ds, ImageDecodeResize, "image")
+        batch = next(iter(out.iter_batches(batch_format="pyarrow")))
+        assert pa.types.is_fixed_size_list(batch.schema.field("pixels").type)
+
 
 class TestAudioVideo:
     def test_audio_features(self, media_ds):
@@ -72,6 +106,19 @@ class TestAudioVideo:
         ).take_all()
         for r in out:
             assert len(r["features"]) == 4
+
+    def test_audio_features_are_digest_arithmetic(self, media_ds):
+        import hashlib
+
+        from searchengine_ray.ops.multimodal import AudioFeatures, media_stage
+
+        payloads = {r["media_id"]: r["payload"]
+                    for r in media_ds.take_all() if r["kind"] == "audio"}
+        out = media_stage(media_ds, AudioFeatures, "audio").take_all()
+        for r in out:
+            d = hashlib.sha256(payloads[r["media_id"]]).digest()
+            for j, f in enumerate(r["features"]):
+                assert f == (d[j] - 127.5) / 128.0
 
     def test_video_frame_offsets(self, media_ds):
         from searchengine_ray.ops.multimodal import (
