@@ -260,6 +260,57 @@ def mem_probe() -> dict:
     return out
 
 
+def _bw_burn(mb: int, iters: int, q) -> None:
+    import numpy as np
+
+    a = np.ones(mb * 131072, dtype=np.int64)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        b = a.copy()
+        del b
+    q.put(time.perf_counter() - t0)
+
+
+def bw_probe(workers: int = 4, mb: int = 64, iters: int = 5) -> float:
+    """Aggregate memcpy bandwidth (GB/s) from ``workers`` concurrent
+    processes — NO Ray session, light enough (~2-10 s) to gate every
+    scaling leg.  This sandbox's shared bus swings >10x between windows
+    (BASELINE.md §1); the probe tells quiet from contended."""
+    import multiprocessing as mp
+
+    q = mp.Queue()
+    ps = [mp.Process(target=_bw_burn, args=(mb, iters, q))
+          for _ in range(workers)]
+    for p in ps:
+        p.start()
+    durs = [q.get() for _ in ps]
+    for p in ps:
+        p.join()
+    return round(workers * (mb / 1024) * iters / (sum(durs) / len(durs)), 2)
+
+
+QUIET_GBPS = float(os.environ.get("GRAFT_QUIET_GBPS", "5.0"))
+QUIET_ATTEMPTS = int(os.environ.get("GRAFT_QUIET_ATTEMPTS", "8"))
+QUIET_WAIT_S = float(os.environ.get("GRAFT_QUIET_WAIT_S", "20"))
+
+
+def _await_quiet_window() -> tuple[float, bool]:
+    """Block until the bus is quiet (bw_probe >= GRAFT_QUIET_GBPS),
+    probing up to GRAFT_QUIET_ATTEMPTS times GRAFT_QUIET_WAIT_S apart.
+    Returns (last probe GB/s, qualified?) — after exhausting attempts the
+    caller proceeds but marks the leg contended."""
+    g = 0.0
+    for att in range(QUIET_ATTEMPTS):
+        g = bw_probe()
+        if g >= QUIET_GBPS:
+            return g, True
+        print(f"[scaling] bus contended ({g} GB/s < {QUIET_GBPS}); "
+              f"waiting {QUIET_WAIT_S}s (attempt {att + 1}/{QUIET_ATTEMPTS})",
+              file=sys.stderr)
+        time.sleep(QUIET_WAIT_S)
+    return g, False
+
+
 SCALING_CPUS = tuple(
     int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(",")
 )
@@ -280,16 +331,24 @@ def run_scaling() -> dict:
     """The same disk->index build at N and 4N CPUs in fresh processes, at
     two corpus sizes (sub-saturation + saturated; see SCALING_SIZES).
 
-    Each leg runs its configured rep count and reports the best
-    throughput: the sandbox's virtual disk and neighbours introduce
-    30-50% run-to-run noise, and best-of-k estimates steady state."""
+    Quiet-window protocol (VERDICT r2 'Next round' #1a): each rep of
+    each leg is gated on the Ray-free ``bw_probe`` — the rep starts only
+    once aggregate memcpy bandwidth is >= GRAFT_QUIET_GBPS (up to
+    GRAFT_QUIET_ATTEMPTS x GRAFT_QUIET_WAIT_S of waiting), and is probed
+    again right after; a rep QUALIFIES when both probes pass.  Each
+    leg reports the best throughput among qualifying reps (falling back
+    to all reps, marked ``window: contended``, only when no rep
+    qualifies).  All per-rep (probe, throughput) pairs are emitted for
+    transparency."""
     lo, hi = SCALING_CPUS
     sizes = {}
     for n_docs, reps in SCALING_SIZES:
         results = {}
+        rep_log: dict[int, list] = {lo: [], hi: []}
         for n in (lo, hi):
             best = None
             for _ in range(reps):
+                pre_g, pre_ok = _await_quiet_window()
                 proc = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--_single-build", str(n), str(n_docs)],
@@ -303,8 +362,18 @@ def run_scaling() -> dict:
                         f"scaling run n={n} docs={n_docs} produced no JSON:\n"
                         f"{proc.stdout}\n{proc.stderr}"
                     )
+                post_g = bw_probe()
                 r = json.loads(line[-1])
-                if best is None or r["files_per_sec"] > best["files_per_sec"]:
+                r["pre_gbps"] = pre_g
+                r["post_gbps"] = post_g
+                r["window_ok"] = bool(pre_ok and post_g >= QUIET_GBPS)
+                rep_log[n].append(r)
+                if best is None:
+                    best = r
+                elif r["window_ok"] and not best["window_ok"]:
+                    best = r            # any qualifying rep beats contended
+                elif (r["window_ok"] == best["window_ok"]
+                      and r["files_per_sec"] > best["files_per_sec"]):
                     best = r
             results[n] = best
         tp_lo = results[lo]["files_per_sec"]
@@ -322,6 +391,10 @@ def run_scaling() -> dict:
             f"build_{hi}cpu_files_per_sec": tp_hi,
             f"build_{lo}cpu_sec": results[lo]["build_sec"],
             f"build_{hi}cpu_sec": results[hi]["build_sec"],
+            "window": ("quiet"
+                       if results[lo]["window_ok"] and
+                       results[hi]["window_ok"] else "contended"),
+            "reps": rep_log,
             **stages,
         }
     primary = str(SCALING_SIZES[0][0])

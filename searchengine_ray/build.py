@@ -749,47 +749,74 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
             np.maximum.reduceat(wq, run_starts).astype(np.float64) / WDT_QUANT
         )
 
-        blobs, pos_blobs, skip_last, skip_max_tf, skip_max_w, skip_off = (
-            [], [], [], [], [], []
-        )
+        # fully vectorized fragment assembly (the per-term Python loop
+        # with bytes()/.tolist() copies was the dominant merge cost AND
+        # doubled the memcpy volume on the bandwidth-bound reduce side):
+        # term byte ranges tile `encoded`/`pos_data` contiguously, so
+        # both blob columns are zero-copy BinaryArrays over those
+        # buffers, and every skip array falls out of ONE global reduceat
+        # over strictly-increasing block starts.
         n_terms = len(run_starts)
-        mv = memoryview(encoded)
-        pos_mv = pos_data
-        for t in range(n_terms):
-            s, e = int(run_starts[t]), int(run_ends[t])
-            bs, be = int(term_byte_start[t]), int(term_byte_end[t])
-            blobs.append(bytes(mv[bs:be]))
-            pos_blobs.append(
-                bytes(pos_mv[int(term_pos_byte_start[t]):int(term_pos_byte_end[t])])
+        if int(byte_ends[-1]) >= 2**31 - 1 or int(pos_row_off[n]) >= 2**31 - 1:
+            raise ValueError(
+                "gkey fragment exceeds 2 GB binary-offset range; raise "
+                "max_salt / num_buckets so salted sub-ranges stay smaller"
             )
-            block_starts = np.arange(s, e, skip_n)
-            block_ends = np.append(block_starts[1:], e)
-            skip_last.append(doc_ids[block_ends - 1].tolist())
-            skip_max_tf.append(
-                np.maximum.reduceat(tftds[s:e], block_starts - s).astype(np.int64).tolist()
-            )
-            skip_max_w.append(
-                (np.maximum.reduceat(wq[s:e], block_starts - s)
-                 .astype(np.float64) / WDT_QUANT).tolist()
-            )
-            skip_off.append((byte_starts[2 * block_starts] - bs).tolist())
+        blob_off = np.empty(n_terms + 1, dtype=np.int32)
+        blob_off[:-1] = term_byte_start
+        blob_off[-1] = term_byte_end[-1]
+        blob_arr = pa.Array.from_buffers(
+            pa.binary(), n_terms,
+            [None, pa.py_buffer(blob_off.tobytes()), pa.py_buffer(encoded)],
+        )
+        pos_off = np.empty(n_terms + 1, dtype=np.int32)
+        pos_off[:-1] = term_pos_byte_start
+        pos_off[-1] = term_pos_byte_end[-1]
+        pos_blob_arr = pa.Array.from_buffers(
+            pa.binary(), n_terms,
+            [None, pa.py_buffer(pos_off.tobytes()), pa.py_buffer(pos_data)],
+        )
+
+        lens_t = run_ends - run_starts
+        nblocks = (lens_t + skip_n - 1) // skip_n
+        tot_blocks = int(nblocks.sum())
+        block_term = np.repeat(np.arange(n_terms), nblocks)
+        first_block = np.cumsum(nblocks) - nblocks
+        within = np.arange(tot_blocks) - first_block[block_term]
+        gbs = run_starts[block_term] + skip_n * within   # global block starts
+        gbe = np.minimum(gbs + skip_n, run_ends[block_term])
+        skip_last_v = doc_ids[gbe - 1]
+        skip_max_tf_v = np.maximum.reduceat(tftds, gbs).astype(np.int64)
+        skip_max_w_v = (
+            np.maximum.reduceat(wq, gbs).astype(np.float64) / WDT_QUANT
+        )
+        skip_off_v = byte_starts[2 * gbs] - term_byte_start[block_term]
+        list_off = pa.array(
+            np.concatenate([[0], np.cumsum(nblocks)]).astype(np.int32)
+        )
 
         out_terms = uniq[codes[run_starts]]
         return pa.table(
             {
-                "term": pa.array([str(t) for t in out_terms]),
-                "shard": pa.array([shard] * n_terms, type=pa.int32()),
-                "salt": pa.array([salt] * n_terms, type=pa.int32()),
-                "bucket": pa.array([bucket] * n_terms, type=pa.int32()),
+                "term": pa.array(out_terms, type=pa.string()),
+                "shard": pa.array(
+                    np.full(n_terms, shard, dtype=np.int32)),
+                "salt": pa.array(np.full(n_terms, salt, dtype=np.int32)),
+                "bucket": pa.array(
+                    np.full(n_terms, bucket, dtype=np.int32)),
                 "df": pa.array(df, type=pa.int64()),
                 "cf": pa.array(cf, type=pa.int64()),
                 "max_wdt": pa.array(max_wdt_per_term, type=pa.float64()),
-                "blob": pa.array(blobs, type=pa.binary()),
-                "pos_blob": pa.array(pos_blobs, type=pa.binary()),
-                "skip_last_doc": pa.array(skip_last, type=pa.list_(pa.int64())),
-                "skip_max_tftd": pa.array(skip_max_tf, type=pa.list_(pa.int64())),
-                "skip_max_wdt": pa.array(skip_max_w, type=pa.list_(pa.float64())),
-                "skip_offset": pa.array(skip_off, type=pa.list_(pa.int64())),
+                "blob": blob_arr,
+                "pos_blob": pos_blob_arr,
+                "skip_last_doc": pa.ListArray.from_arrays(
+                    list_off, pa.array(skip_last_v, type=pa.int64())),
+                "skip_max_tftd": pa.ListArray.from_arrays(
+                    list_off, pa.array(skip_max_tf_v, type=pa.int64())),
+                "skip_max_wdt": pa.ListArray.from_arrays(
+                    list_off, pa.array(skip_max_w_v, type=pa.float64())),
+                "skip_offset": pa.ListArray.from_arrays(
+                    list_off, pa.array(skip_off_v, type=pa.int64())),
             },
             schema=_SEGMENT_SCHEMA,
         )
