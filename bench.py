@@ -120,6 +120,10 @@ def run_single(num_cpus: int) -> dict:
     from searchengine_ray.ops.textstats import quality_scores
 
     docs = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    # steady-state measurement (same rationale as _scaling_build's worker
+    # warm): a tiny pass first so worker-process imports and per-worker
+    # stage caches are not billed to the op
+    minhash_lsh_dedup(docs.limit(64)).count()
     t0 = time.perf_counter()
     minhash_lsh_dedup(docs).count()
     out["queries"]["minhash_dedup"] = round(time.perf_counter() - t0, 3)
