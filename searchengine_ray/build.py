@@ -549,24 +549,25 @@ def _reduce_runs(
         for t, gid in acc["terms"].items():
             terms_global[gid] = t
         if len(acc["pos"]) == 1:
-            pos_all = acc["pos"][0]
+            pos_chunks = acc["pos"]
         else:
             # map tasks emit pa.binary() (32-bit offsets) when a file's
             # encoded positions fit in 2 GB, else large_binary; a group
             # merging chunks of mixed types — or whose combined blobs
             # exceed 2^31 bytes — must widen to large_binary first
-            # (offsets-only cost; values buffers are shared)
+            # (offsets-only cost; values buffers are shared).  Chunks stay
+            # a list: merge() gathers straight from the chunked array, so
+            # the pos bytes move ONCE (the sort gather), not twice.
             total = sum(c.nbytes for c in acc["pos"])
             mixed = len({str(c.type) for c in acc["pos"]}) > 1
             if mixed or total >= 2**31 - 1:
-                chunks = [
+                pos_chunks = [
                     c if pa.types.is_large_binary(c.type)
                     else c.cast(pa.large_binary())
                     for c in acc["pos"]
                 ]
             else:
-                chunks = acc["pos"]
-            pos_all = _as_array(pa.chunked_array(chunks))
+                pos_chunks = acc["pos"]
         parts.append(
             inner(
                 gkey,
@@ -575,7 +576,7 @@ def _reduce_runs(
                 np.concatenate(acc["doc"]),
                 np.concatenate(acc["wq"]),
                 np.concatenate(acc["tf"]),
-                pos_all,
+                pos_chunks,
             )
         )
     seg = pa.concat_tables(parts)
@@ -678,7 +679,7 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
         doc_local: np.ndarray,
         wq8: np.ndarray,
         tftds32: np.ndarray,
-        pos_arr: pa.Array,
+        pos_chunks: list[pa.Array],
     ) -> pa.Table:
         n = gids.size
         if n == 0:
@@ -704,9 +705,18 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
         doc_ids = doc_ids[order]
         wq = wq8[order]
         tftds = tftds32.astype(np.int64)[order]
-        pos_arr = pos_arr.take(pa.array(order))
-        # take() rebuilt the binary array, so its data buffer holds the
-        # per-row blobs contiguous in (term, doc_id) order: a term's
+        # gather pos rows straight from the (possibly chunked) input —
+        # the bytes move ONCE, in this gather, instead of a concat pass
+        # followed by a take pass
+        idx = pa.array(order)
+        if len(pos_chunks) == 1:
+            pos_arr = pos_chunks[0].take(idx)
+        else:
+            taken = pa.chunked_array(pos_chunks).take(idx)
+            pos_arr = (taken.combine_chunks() if taken.num_chunks != 1
+                       else taken.chunk(0))
+        # the gather rebuilt the binary array, so its data buffer holds
+        # the per-row blobs contiguous in (term, doc_id) order: a term's
         # pos_blob is a pure slice, no decode/re-encode
         off_width = 8 if pa.types.is_large_binary(pos_arr.type) else 4
         pos_row_off = np.frombuffer(
