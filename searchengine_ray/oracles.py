@@ -1,4 +1,4 @@
-"""DuckDB oracle SQL builders for the dedup / textstats pipelines.
+r"""DuckDB oracle SQL builders for the dedup / textstats pipelines.
 
 Each builder returns ANSI-ish DuckDB SQL that replays the corresponding
 Ray pipeline exactly — same md5-derived token hashes, same mod-2^32
