@@ -80,6 +80,27 @@ class TestMinHash:
         b = MinHasher().signature("hello world foo bar baz")
         assert np.array_equal(a, b)
 
+    def test_store_batch_write_is_retry_idempotent(self, tmp_path):
+        """A retried map task re-writes its batch's store files under the
+        same min-id-derived names — re-running must not duplicate rows."""
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        from searchengine_ray.ops.dedup import _write_store_batch
+
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([3, 17, 42, 5], type=pa.int64()),
+                "payload": pa.array([1.0, 2.0, 3.0, 4.0]),
+            }
+        )
+        d = str(tmp_path / "store")
+        _write_store_batch(tbl, d, "doc_id", num_buckets=4)
+        _write_store_batch(tbl, d, "doc_id", num_buckets=4)  # the retry
+        got = pads.dataset(d, format="parquet").to_table()
+        assert got.num_rows == 4
+        assert sorted(got.column("doc_id").to_pylist()) == [3, 5, 17, 42]
+
 
 class TestNgramJaccardDedup:
     def test_exact_verification_removes_near_dups(self, docs_ds):
