@@ -4,9 +4,11 @@ Default: run the headline pipelines over $GRAFT_SF_DIR (default
 /root/testdata/sf0.1) with num_cpus=$RAY_GRAFT_CPUS (default 32) and print
 ONE JSON line.
 
---scaling: run the index build twice in fresh subprocesses (num_cpus=8 and
-num_cpus=32) on the same input and report both throughputs + scaling
-efficiency — the sandbox evidence for the N->4N cluster criterion.
+--scaling: run the index build at N and 4N CPUs (default 4 and 16 — see
+cpu_probe for why not 8/32 on this VM) in fresh subprocesses on the same
+input and report both throughputs + scaling efficiency — the sandbox
+evidence for the N->4N cluster criterion.  Every rep is gated on the
+quiet-window protocol (bw_probe / GRAFT_QUIET_*; BASELINE.md round 3).
 """
 
 from __future__ import annotations
