@@ -570,9 +570,12 @@ def ngram_jaccard_dedup(
     pairs = _minhash_band_pairs(
         ds, text_col, id_col, num_hashes, num_bands, shingle_k, seed,
         bucket_cap,
-    )
-    # the text store is written eagerly (one corpus pass) before the lazy
-    # candidate pipeline executes, so verification reads a complete store
+    ).materialize()
+    # candidates materialized (one fused pass) so the no-dup case can
+    # skip the text store entirely — a full corpus copy, the expensive
+    # part of the exact-verification variant
+    if pairs.count() == 0:
+        return ds
     text_dir = scratch_dir("jaccard_texts")
     write_bucketed(
         ds.map_batches(
