@@ -428,9 +428,10 @@ def _write_store_batch(
     """Append one map batch's side-table rows to a bucketed store.
     File names derive from the batch's min id, so a retried task
     overwrites its own files idempotently (a retried Ray Data task
-    re-reads the same input block).  File-count shape is identical to
-    ``write_bucketed`` / Ray's own hive-partitioned ``write_parquet``:
-    O(tasks x touched buckets)."""
+    re-reads the same input block).  File count is O(batches x touched
+    buckets) — the caller's ``batch_size`` IS the write granularity, so
+    at large scale raise it together with ``num_join_buckets`` (e.g.
+    8192-row batches -> ~2k files per billion rows per bucket)."""
     ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
     if not len(ids):
         return
