@@ -867,33 +867,59 @@ def _dir_lineage(path: str) -> list[dict]:
     return out
 
 
+@ray.remote
+def _heavy_partial_counts(files: list[str]) -> pa.Table | None:
+    """Per-task combiner for heavy-hitter detection: df counts of this
+    task's sample files, summed over per-chunk dictionary codes (no flat
+    term strings are ever materialized) and combined to one
+    (term, n) row per distinct term before leaving the task."""
+    _pin_arrow_threads()
+    parts = []
+    for f in files:
+        tbl = pq.read_table(f, columns=["terms"],
+                            read_dictionary=["terms.list.element"])
+        for chunk in tbl.column("terms").chunks:
+            flat = chunk.flatten()
+            if not isinstance(flat, pa.DictionaryArray):
+                flat = flat.dictionary_encode()
+            codes = flat.indices.to_numpy(zero_copy_only=False)
+            counts = np.bincount(codes[codes >= 0],
+                                 minlength=len(flat.dictionary))
+            keep = np.flatnonzero(counts > 0)
+            parts.append(
+                pa.table(
+                    {
+                        "term": flat.dictionary.take(pa.array(keep)),
+                        "n": pa.array(counts[keep], type=pa.int64()),
+                    }
+                )
+            )
+    if not parts:
+        return None
+    combined = pa.concat_tables(parts).combine_chunks()
+    dic = _as_array(combined.column("term")).dictionary_encode()
+    codes = dic.indices.to_numpy(zero_copy_only=False)
+    ns = combined.column("n").to_numpy(zero_copy_only=False)
+    sums = np.zeros(len(dic.dictionary), dtype=np.int64)
+    np.add.at(sums, codes, ns)
+    keep = np.flatnonzero(sums > 0)
+    return pa.table(
+        {
+            "term": dic.dictionary.take(pa.array(keep)),
+            "n": pa.array(sums[keep], type=pa.int64()),
+        }
+    )
+
+
 def detect_heavy_terms(
     docterms_dir: str, cfg: IndexBuildConfig
 ) -> dict[str, int]:
-    """Heavy-hitter detection: per-block partial df counts (combiner) ->
-    tiny groupby-sum -> {term: salt_width} for terms whose df within one
-    shard could exceed the threshold."""
+    """Heavy-hitter detection: per-task partial df counts (combiner,
+    dictionary-code bincounts) -> driver final sum -> {term: salt_width}
+    for terms whose df within one shard could exceed the threshold."""
     if cfg.heavy_df_threshold is None:
         return {}
     threshold = cfg.heavy_df_threshold
-
-    def partial_counts(batch: pa.Table) -> pa.Table:
-        """Per-block combiner.  Terms with a block-local df below a prorated
-        cut can't reach the global threshold even if present in every block,
-        so only plausible candidates leave the task — the shuffle-free
-        equivalent of a pre-aggregated groupby."""
-        terms_col = _as_array(batch.column("terms")).flatten()
-        arr = terms_col.dictionary_encode()
-        codes = arr.indices.to_numpy(zero_copy_only=False)
-        n_codes = len(arr.dictionary)
-        counts = np.bincount(codes[codes >= 0], minlength=n_codes)
-        keep = np.flatnonzero(counts > 0)
-        return pa.table(
-            {
-                "term": arr.dictionary.take(pa.array(keep)),
-                "n": pa.array(counts[keep], type=pa.int64()),
-            }
-        )
 
     # deterministic file sample: df-threshold detection only steers
     # salting (a miss means one hot reducer group, not wrong results), so
@@ -907,21 +933,22 @@ def detect_heavy_terms(
     step = max(1, len(all_files) // max(4, len(all_files) // 10))
     sample_files = all_files[::step] or all_files
     scale_up = 1.5 * len(all_files) / len(sample_files)
-    # num_cpus=2 above 8 cluster CPUs: same bandwidth-contention cap as
-    # the exchange (flatten+bincount over every term is memcpy-heavy)
-    task_cpus = 2 if ray.cluster_resources().get("CPU", 8) > 8 else 1
-    partials = ray.data.read_parquet(
-        sample_files, columns=["terms"]  # pruned at the parquet read
-    ).map_batches(partial_counts, batch_format="pyarrow",
-                  num_cpus=task_cpus)
-    # driver-side final sum, vectorized: rows = sum of per-block distinct
-    # vocab — small after combining.  At extreme vocab scale this becomes a
-    # tree reduce (pairwise merge tasks); a groupby shuffle is never needed
-    # for a threshold decision.
-    tbls = [b for b in partials.iter_batches(batch_format="pyarrow")
-            if b.num_rows]
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_tasks = max(1, min(len(sample_files), 2 * cpus))
+    groups = [sample_files[i::n_tasks] for i in range(n_tasks)]
+    # raw tasks reading terms DICTIONARY-ENCODED (same idiom as
+    # _map_runs): the parquet dictionary pages decode straight to codes,
+    # so counting is bincount over ints — the previous Ray Data path
+    # re-hashed every flat term string per batch, which made the stage a
+    # fixed ~10 s at ANY cpu count at 1M docs (anti-scaling, measured)
+    partial_refs = [_heavy_partial_counts.remote(g) for g in groups]
+    tbls = [t for t in ray.get(partial_refs) if t is not None]
     if not tbls:
         return {}
+    # driver-side final sum, vectorized: rows = tasks x per-task distinct
+    # vocab — small after the in-task combine.  At extreme vocab scale
+    # this becomes a tree reduce (pairwise merge tasks); a groupby
+    # shuffle is never needed for a threshold decision.
     all_parts = pa.concat_tables(tbls).combine_chunks()
     dic = _as_array(all_parts.column("term")).dictionary_encode()
     codes = dic.indices.to_numpy(zero_copy_only=False)
