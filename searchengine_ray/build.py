@@ -88,6 +88,10 @@ class IndexBuildConfig:
     segment_row_group_size: int = 512
     analyzer: str = "reference"  # key into tokenizer.ANALYZERS
     num_reducers: int | None = None  # postings-exchange reduce partitions
+    # CPU slots per exchange task; None -> 2 above 8 cluster CPUs (the
+    # bandwidth-contention cap measured in BASELINE.md §3), 1 otherwise.
+    # Env SE_RAY_EXCHANGE_CPUS overrides for A/B runs.
+    exchange_task_cpus: int | None = None
 
     def to_json(self) -> dict:
         d = asdict(self)
@@ -625,7 +629,13 @@ def build_segments_exchange(
     # saturates its bus well below one-stream-per-core: above 8 CPUs,
     # schedule each task with 2 CPU slots so at most cpus/2 run at once —
     # each gets a bigger bandwidth share instead of thrashing caches
-    task_cpus = 2 if cpus > 8 else 1
+    env_cpus = os.environ.get("SE_RAY_EXCHANGE_CPUS")
+    if env_cpus:
+        task_cpus = int(env_cpus)
+    elif cfg.exchange_task_cpus is not None:
+        task_cpus = cfg.exchange_task_cpus
+    else:
+        task_cpus = 2 if cpus > 8 else 1
     map_refs = [
         _map_runs.options(num_returns=num_reducers,
                           num_cpus=task_cpus).remote(
