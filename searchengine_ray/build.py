@@ -21,8 +21,9 @@ Ray-Data-native rebuild:
               salt    = contiguous doc-range split for heavy terms
     -> groupby(gkey).map_groups(merge+encode)         # replaces heap merge
     -> segments/ parquet: one posting-list *fragment* per (term, shard,
-       salt): VByte blob (doc gaps, tftd, position gaps) + skip-block
-       metadata (last doc id, max tftd, byte offset per 128 postings)
+       salt): parallel VByte streams (doc gaps / tftds / position gaps)
+       + skip-block metadata (last doc id, max tftd, byte offsets per
+       128 postings)
   manifest.json: corpus scalars, per-stage lineage + per-file metrics,
        committed last -> a re-run skips completed stages (resume).
 
@@ -293,14 +294,23 @@ _SEGMENT_SCHEMA = pa.schema(
         ("df", pa.int64()),
         ("cf", pa.int64()),
         ("max_wdt", pa.float64()),
-        ("blob", pa.binary()),
+        ("blob", pa.binary()),      # VByte doc-gap stream (format v3)
+        ("tf_blob", pa.binary()),   # VByte tftd stream, same posting order
         ("pos_blob", pa.binary()),
         ("skip_last_doc", pa.list_(pa.int64())),
         ("skip_max_tftd", pa.list_(pa.int64())),
         ("skip_max_wdt", pa.list_(pa.float64())),
-        ("skip_offset", pa.list_(pa.int64())),
+        ("skip_offset", pa.list_(pa.int64())),     # block start in blob
+        ("skip_tf_offset", pa.list_(pa.int64())),  # block start in tf_blob
     ]
 )
+
+# Segment layout version, folded into stage fingerprints so an index built
+# by an older code revision is rebuilt rather than misread.  v3: the doc/tf
+# stream is split into two per-term columns (blob = gaps, tf_blob = tftds)
+# — the interleaved 2n-wide uint64 stream build was the single largest
+# memory-traffic source on the bandwidth-bound reduce side.
+SEGMENT_FORMAT = 3
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -572,22 +582,30 @@ def _reduce_runs(
                 ]
             else:
                 pos_chunks = acc["pos"]
+        _ct = time.perf_counter()
+        gids_c = np.concatenate(acc["gids"])
+        doc_c = np.concatenate(acc["doc"])
+        wq_c = np.concatenate(acc["wq"])
+        tf_c = np.concatenate(acc["tf"])
+        prof["m_concat"] = prof.get("m_concat", 0.0) + (
+            time.perf_counter() - _ct)
         parts.append(
-            inner(
-                gkey,
-                terms_global,
-                np.concatenate(acc["gids"]),
-                np.concatenate(acc["doc"]),
-                np.concatenate(acc["wq"]),
-                np.concatenate(acc["tf"]),
-                pos_chunks,
-            )
+            inner(gkey, terms_global, gids_c, doc_c, wq_c, tf_c,
+                  pos_chunks, prof=prof)
         )
     seg = pa.concat_tables(parts)
     prof["merge"] = time.perf_counter() - _pt
     _pt = time.perf_counter()
     tmp = out_path + ".tmp"
-    pq.write_table(seg, tmp, row_group_size=cfg.segment_row_group_size)
+    # no statistics on the blob columns: parquet min/max for a binary
+    # column stores two whole values per row group in the footer —
+    # for multi-KB posting blobs that DOUBLED the on-disk index (measured
+    # 92 -> 44 KB on one segment) and nothing predicate-filters on blobs
+    pq.write_table(
+        seg, tmp, row_group_size=cfg.segment_row_group_size,
+        write_statistics=[c for c in seg.column_names
+                          if not c.endswith("blob")],
+    )
     os.replace(tmp, out_path)
     prof["write"] = time.perf_counter() - _pt
     prof["t1"] = time.time()
@@ -660,11 +678,14 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
     """One gkey's postings (columns term, doc_local, dl, tftd, pos_blob)
     -> encoded posting-list fragments.
 
-    Encoding (north rule: delta + VByte + block-max skip metadata):
-    - ``blob``: VByte stream of interleaved (doc_gap, tftd), 2 ints/posting.
-      First gap of the fragment is the absolute doc_id; gaps are continuous
-      across skip blocks, so block k decodes independently given
-      skip_last_doc[k-1] as its base.
+    Encoding (north rule: delta + VByte + block-max skip metadata;
+    SEGMENT_FORMAT v3 stores doc gaps and tftds as two parallel streams):
+    - ``blob``: VByte stream of doc gaps, one per posting.  First gap of
+      the fragment is the absolute doc_id; gaps are continuous across skip
+      blocks, so block k decodes independently given skip_last_doc[k-1] as
+      its base.
+    - ``tf_blob``: VByte stream of tftds, same posting order
+      (``skip_tf_offset`` gives each skip block's start within it).
     - ``pos_blob``: VByte stream of position gaps (absolute at each
       posting's first position, delta inside a posting's list) — arrives
       pre-encoded per row from the maps; a term's stream is a pure
@@ -690,10 +711,12 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
         wq8: np.ndarray,
         tftds32: np.ndarray,
         pos_chunks: list[pa.Array],
+        prof: dict | None = None,
     ) -> pa.Table:
         n = gids.size
         if n == 0:
             return _SEGMENT_SCHEMA.empty_table()
+        _pt = time.perf_counter()
         salt = gkey % SALT_WIDTH
         rest = gkey // SALT_WIDTH
         bucket = rest % B
@@ -714,7 +737,12 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
         codes = gids[order]
         doc_ids = doc_ids[order]
         wq = wq8[order]
-        tftds = tftds32.astype(np.int64)[order]
+        tf32 = tftds32[order]            # int32, encoded directly (v3)
+        tftds = tf32.astype(np.int64)    # int64 view for stats/reduceat
+        if prof is not None:
+            prof["m_sort"] = prof.get("m_sort", 0.0) + (
+                time.perf_counter() - _pt)
+            _pt = time.perf_counter()
         # gather pos rows straight from the (possibly chunked) input —
         # the bytes move ONCE, in this gather, instead of a concat pass
         # followed by a take pass
@@ -735,6 +763,10 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
             count=len(pos_arr) + 1, offset=off_width * pos_arr.offset,
         ).astype(np.int64)
         pos_data = memoryview(pos_arr.buffers()[2])
+        if prof is not None:
+            prof["m_gather"] = prof.get("m_gather", 0.0) + (
+                time.perf_counter() - _pt)
+            _pt = time.perf_counter()
 
         # term-run boundaries (codes are int-sorted by lexicographic rank)
         new_term = np.empty(n, dtype=bool)
@@ -748,16 +780,27 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
         doc_gap[1:] -= doc_ids[:-1]
         doc_gap[run_starts] = doc_ids[run_starts]
 
-        # doc/tf stream: per posting [doc_gap, tftd]
-        stream = np.empty(2 * n, dtype=np.uint64)
-        stream[0::2] = doc_gap.astype(np.uint64)
-        stream[1::2] = tftds.astype(np.uint64)
-        blen = vbyte.encoded_lengths(stream)
-        byte_ends = np.cumsum(blen)
-        byte_starts = byte_ends - blen
-        encoded = vbyte.encode(stream, blen)
-        term_byte_start = byte_starts[2 * run_starts]
-        term_byte_end = byte_ends[2 * run_ends - 1]
+        # doc-gap and tf streams encoded separately (format v3): the old
+        # interleaved 2n-wide uint64 stream build (strided writes + 2n
+        # lengths/cumsum) was the single largest memory-traffic source on
+        # the bandwidth-bound reduce side; two direct encodes over the
+        # arrays already in hand move ~5x fewer bytes
+        blen_d = vbyte.encoded_lengths(doc_gap)
+        dbyte_ends = np.cumsum(blen_d)
+        dbyte_starts = dbyte_ends - blen_d
+        encoded_d = vbyte.encode(doc_gap, blen_d)
+        term_byte_start = dbyte_starts[run_starts]
+        term_byte_end = dbyte_ends[run_ends - 1]
+        blen_t = vbyte.encoded_lengths(tf32)
+        tbyte_ends = np.cumsum(blen_t)
+        tbyte_starts = tbyte_ends - blen_t
+        encoded_t = vbyte.encode(tf32, blen_t)
+        term_tf_start = tbyte_starts[run_starts]
+        term_tf_end = tbyte_ends[run_ends - 1]
+        if prof is not None:
+            prof["m_encode"] = prof.get("m_encode", 0.0) + (
+                time.perf_counter() - _pt)
+            _pt = time.perf_counter()
 
         # byte range of each term run in the row-contiguous pos data
         term_pos_byte_start = pos_row_off[run_starts]
@@ -777,7 +820,9 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
         # buffers, and every skip array falls out of ONE global reduceat
         # over strictly-increasing block starts.
         n_terms = len(run_starts)
-        if int(byte_ends[-1]) >= 2**31 - 1 or int(pos_row_off[n]) >= 2**31 - 1:
+        if (int(dbyte_ends[-1]) >= 2**31 - 1
+                or int(tbyte_ends[-1]) >= 2**31 - 1
+                or int(pos_row_off[n]) >= 2**31 - 1):
             raise ValueError(
                 "gkey fragment exceeds 2 GB binary-offset range; raise "
                 "max_salt / num_buckets so salted sub-ranges stay smaller"
@@ -787,7 +832,14 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
         blob_off[-1] = term_byte_end[-1]
         blob_arr = pa.Array.from_buffers(
             pa.binary(), n_terms,
-            [None, pa.py_buffer(blob_off.tobytes()), pa.py_buffer(encoded)],
+            [None, pa.py_buffer(blob_off.tobytes()), pa.py_buffer(encoded_d)],
+        )
+        tf_off = np.empty(n_terms + 1, dtype=np.int32)
+        tf_off[:-1] = term_tf_start
+        tf_off[-1] = term_tf_end[-1]
+        tf_blob_arr = pa.Array.from_buffers(
+            pa.binary(), n_terms,
+            [None, pa.py_buffer(tf_off.tobytes()), pa.py_buffer(encoded_t)],
         )
         pos_off = np.empty(n_terms + 1, dtype=np.int32)
         pos_off[:-1] = term_pos_byte_start
@@ -810,13 +862,14 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
         skip_max_w_v = (
             np.maximum.reduceat(wq, gbs).astype(np.float64) / WDT_QUANT
         )
-        skip_off_v = byte_starts[2 * gbs] - term_byte_start[block_term]
+        skip_off_v = dbyte_starts[gbs] - term_byte_start[block_term]
+        skip_tf_off_v = tbyte_starts[gbs] - term_tf_start[block_term]
         list_off = pa.array(
             np.concatenate([[0], np.cumsum(nblocks)]).astype(np.int32)
         )
 
         out_terms = uniq[codes[run_starts]]
-        return pa.table(
+        out_tbl = pa.table(
             {
                 "term": pa.array(out_terms, type=pa.string()),
                 "shard": pa.array(
@@ -828,6 +881,7 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
                 "cf": pa.array(cf, type=pa.int64()),
                 "max_wdt": pa.array(max_wdt_per_term, type=pa.float64()),
                 "blob": blob_arr,
+                "tf_blob": tf_blob_arr,
                 "pos_blob": pos_blob_arr,
                 "skip_last_doc": pa.ListArray.from_arrays(
                     list_off, pa.array(skip_last_v, type=pa.int64())),
@@ -837,9 +891,15 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
                     list_off, pa.array(skip_max_w_v, type=pa.float64())),
                 "skip_offset": pa.ListArray.from_arrays(
                     list_off, pa.array(skip_off_v, type=pa.int64())),
+                "skip_tf_offset": pa.ListArray.from_arrays(
+                    list_off, pa.array(skip_tf_off_v, type=pa.int64())),
             },
             schema=_SEGMENT_SCHEMA,
         )
+        if prof is not None:
+            prof["m_skip_tbl"] = prof.get("m_skip_tbl", 0.0) + (
+                time.perf_counter() - _pt)
+        return out_tbl
 
     return merge
 
@@ -987,7 +1047,8 @@ def build_index(
     cfg = cfg or IndexBuildConfig()
     os.makedirs(index_dir, exist_ok=True)
     fingerprint = json.dumps(
-        {"input": input_description, "cfg": cfg.to_json()}, sort_keys=True
+        {"input": input_description, "cfg": cfg.to_json(),
+         "fmt": SEGMENT_FORMAT}, sort_keys=True
     )
     t0 = time.perf_counter()
     stage_seconds: dict[str, float] = {}

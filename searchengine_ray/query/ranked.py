@@ -98,7 +98,8 @@ class _TermCursor:
         self._block_in_frag = []
         for fi, fr in enumerate(index.fragments(term)):
             row = index.read_fragment_row(
-                fr, ["blob", "skip_last_doc", "skip_max_wdt", "skip_offset"]
+                fr, ["blob", "tf_blob", "skip_last_doc", "skip_max_wdt",
+                     "skip_offset", "skip_tf_offset"]
             )
             row["df"] = fr.df
             self._frag_rows.append(row)
@@ -125,17 +126,22 @@ class _TermCursor:
         bif = self._block_in_frag[b]
         row = self._frag_rows[fi]
         offs = row["skip_offset"]
+        toffs = row["skip_tf_offset"]
         blob = row["blob"]
+        tf_blob = row["tf_blob"]
         start = offs[bif]
         end = offs[bif + 1] if bif + 1 < len(offs) else len(blob)
+        ts = toffs[bif]
+        te = toffs[bif + 1] if bif + 1 < len(toffs) else len(tf_blob)
         n_postings = min(self._skip_n, row["df"] - bif * self._skip_n)
-        arr = vbyte.decode(blob[start:end], count=2 * n_postings)
-        gaps = arr[0::2].astype(np.int64)
+        gaps = vbyte.decode(blob[start:end], count=n_postings).astype(
+            np.int64)
         # first gap of a non-first block is relative to the previous
         # block's last doc (continuous deltas across blocks)
         base = row["skip_last_doc"][bif - 1] if bif > 0 else 0
         doc_ids = base + np.cumsum(gaps)
-        tftds = arr[1::2].astype(np.int64)
+        tftds = vbyte.decode(tf_blob[ts:te], count=n_postings).astype(
+            np.int64)
         out = (doc_ids, tftds)
         self._decoded[b] = out
         return out

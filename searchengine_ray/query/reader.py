@@ -220,11 +220,12 @@ class DiskIndexReader:
         return row
 
     def _decode_fragment(self, fr: Fragment, with_positions: bool) -> PostingList:
-        cols = ["blob", "pos_blob"] if with_positions else ["blob"]
+        cols = (["blob", "tf_blob", "pos_blob"] if with_positions
+                else ["blob", "tf_blob"])
         row = self.read_fragment_row(fr, cols)
-        arr = vbyte.decode(row["blob"], count=2 * fr.df)
-        doc_ids = np.cumsum(arr[0::2].astype(np.int64))
-        tftds = arr[1::2].astype(np.int64)
+        doc_ids = np.cumsum(
+            vbyte.decode(row["blob"], count=fr.df).astype(np.int64))
+        tftds = vbyte.decode(row["tf_blob"], count=fr.df).astype(np.int64)
         if not with_positions:
             return PostingList(doc_ids, tftds)
         pos_gaps = vbyte.decode(row["pos_blob"], count=fr.cf).astype(np.int64)

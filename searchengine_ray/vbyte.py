@@ -23,6 +23,10 @@ def _as_unsigned(values: np.ndarray) -> np.ndarray:
         return v
     if v.dtype == np.int32:
         return v.view(np.uint32) if v.flags.c_contiguous else v.astype(np.uint32)
+    if v.dtype == np.int64:
+        # callers only pass non-negative values; a view avoids an n*8-byte
+        # copy on the bandwidth-bound reduce side
+        return v.view(np.uint64) if v.flags.c_contiguous else v.astype(np.uint64)
     return v.astype(np.uint64, copy=False)
 
 
