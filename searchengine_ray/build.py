@@ -258,7 +258,7 @@ def _explode_arrays(
         pos_gap[row_starts] = pos_flat[row_starts]
     blen = vbyte.encoded_lengths(pos_gap)
     encoded = vbyte.encode(pos_gap, blen)
-    cum = np.concatenate(([0], np.cumsum(blen)))
+    cum = np.concatenate(([0], np.cumsum(blen, dtype=np.int64)))
     row_byte_offsets = cum[pos_offsets]
     if len(encoded) < (1 << 31):
         # 32-bit offsets: 4 B/row less through the shuffle than large_binary
@@ -723,19 +723,27 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
         shard = rest // B
 
         uniq = terms_global
-        rank_of_uniq = np.empty(len(uniq), dtype=np.int64)
-        rank_of_uniq[np.argsort(uniq, kind="stable")] = np.arange(len(uniq))
+        rank_of_uniq = np.empty(len(uniq), dtype=np.int32)
+        rank_of_uniq[np.argsort(uniq, kind="stable")] = np.arange(
+            len(uniq), dtype=np.int32)
 
-        doc_ids = shard * dps + doc_local.astype(np.int64)
         ranks = rank_of_uniq[gids]
-        if len(uniq) < (1 << 62) // dps:
-            # single-key packed sort (rank * dps + doc_local): one pass
-            order = np.argsort(ranks * dps + doc_local.astype(np.int64),
+        if len(uniq) * dps < (1 << 31):
+            # int32 packed key (rank * dps + doc_local): half the
+            # radix-sort + key-build traffic of the int64 variant; the
+            # guard makes overflow impossible
+            order = np.argsort(ranks * np.int32(dps) + doc_local,
                                kind="stable")
+        elif len(uniq) < (1 << 62) // dps:
+            order = np.argsort(
+                ranks.astype(np.int64) * dps + doc_local.astype(np.int64),
+                kind="stable")
         else:
-            order = np.lexsort((doc_ids, ranks))
+            # rows in a gkey share one shard, so doc_local orders
+            # identically to the absolute doc_id
+            order = np.lexsort((doc_local, ranks))
         codes = gids[order]
-        doc_ids = doc_ids[order]
+        dloc = doc_local[order]          # int32; doc_id = shard*dps + dloc
         wq = wq8[order]
         tf32 = tftds32[order]            # int32, encoded directly (v3)
         tftds = tf32.astype(np.int64)    # int64 view for stats/reduceat
@@ -775,28 +783,55 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
         run_starts = np.flatnonzero(new_term)          # posting index
         run_ends = np.append(run_starts[1:], n)
 
-        # doc gaps: absolute at run start, delta inside run
-        doc_gap = doc_ids.copy()
-        doc_gap[1:] -= doc_ids[:-1]
-        doc_gap[run_starts] = doc_ids[run_starts]
+        # doc gaps: absolute at run start, delta inside run.  Rows in a
+        # gkey share ONE shard, so gaps are int32 doc_local diffs (no
+        # full int64 doc_ids array) with shard*dps + dloc patched in at
+        # the sparse run starts.
+        shard_base = np.int64(shard) * dps
+        doc_gap = np.empty(n, dtype=np.int64)
+        doc_gap[0] = 0
+        np.subtract(dloc[1:], dloc[:-1], out=doc_gap[1:])
+        doc_gap[run_starts] = shard_base + dloc[run_starts]
 
         # doc-gap and tf streams encoded separately (format v3): the old
         # interleaved 2n-wide uint64 stream build (strided writes + 2n
-        # lengths/cumsum) was the single largest memory-traffic source on
-        # the bandwidth-bound reduce side; two direct encodes over the
-        # arrays already in hand move ~5x fewer bytes
-        blen_d = vbyte.encoded_lengths(doc_gap)
-        dbyte_ends = np.cumsum(blen_d)
+        # int64 lengths/cumsum) was the single largest memory-traffic
+        # source on the bandwidth-bound reduce side.  All helper arrays
+        # here are uint8/int32 for the same reason.
+        blen_d = vbyte.encoded_lengths(doc_gap)            # uint8
+        if (int(blen_d.sum()) >= 2**31 - 1
+                or int(pos_row_off[n]) >= 2**31 - 1):
+            raise ValueError(
+                "gkey fragment exceeds 2 GB binary-offset range; raise "
+                "max_salt / num_buckets so salted sub-ranges stay smaller"
+            )
+        dbyte_ends = np.cumsum(blen_d, dtype=np.int32)
         dbyte_starts = dbyte_ends - blen_d
         encoded_d = vbyte.encode(doc_gap, blen_d)
         term_byte_start = dbyte_starts[run_starts]
         term_byte_end = dbyte_ends[run_ends - 1]
-        blen_t = vbyte.encoded_lengths(tf32)
-        tbyte_ends = np.cumsum(blen_t)
-        tbyte_starts = tbyte_ends - blen_t
-        encoded_t = vbyte.encode(tf32, blen_t)
-        term_tf_start = tbyte_starts[run_starts]
-        term_tf_end = tbyte_ends[run_ends - 1]
+        tf_plain = bool(int(tf32.max()) < 128)
+        if tf_plain:
+            # tftds all < 128 (the overwhelmingly common case): the
+            # VByte stream IS the low bytes, so byte offsets are posting
+            # indices — no length/cumsum arrays at all
+            encoded_t = np.ascontiguousarray(tf32).astype(np.uint8).tobytes()
+            term_tf_start = run_starts
+            term_tf_end = run_ends
+            tbyte_starts = None
+        else:
+            blen_t = vbyte.encoded_lengths(tf32)
+            if int(blen_t.sum()) >= 2**31 - 1:
+                raise ValueError(
+                    "gkey fragment exceeds 2 GB binary-offset range; "
+                    "raise max_salt / num_buckets so salted sub-ranges "
+                    "stay smaller"
+                )
+            tbyte_ends = np.cumsum(blen_t, dtype=np.int32)
+            tbyte_starts = tbyte_ends - blen_t
+            encoded_t = vbyte.encode(tf32, blen_t)
+            term_tf_start = tbyte_starts[run_starts]
+            term_tf_end = tbyte_ends[run_ends - 1]
         if prof is not None:
             prof["m_encode"] = prof.get("m_encode", 0.0) + (
                 time.perf_counter() - _pt)
@@ -820,13 +855,6 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
         # buffers, and every skip array falls out of ONE global reduceat
         # over strictly-increasing block starts.
         n_terms = len(run_starts)
-        if (int(dbyte_ends[-1]) >= 2**31 - 1
-                or int(tbyte_ends[-1]) >= 2**31 - 1
-                or int(pos_row_off[n]) >= 2**31 - 1):
-            raise ValueError(
-                "gkey fragment exceeds 2 GB binary-offset range; raise "
-                "max_salt / num_buckets so salted sub-ranges stay smaller"
-            )
         blob_off = np.empty(n_terms + 1, dtype=np.int32)
         blob_off[:-1] = term_byte_start
         blob_off[-1] = term_byte_end[-1]
@@ -857,13 +885,16 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
         within = np.arange(tot_blocks) - first_block[block_term]
         gbs = run_starts[block_term] + skip_n * within   # global block starts
         gbe = np.minimum(gbs + skip_n, run_ends[block_term])
-        skip_last_v = doc_ids[gbe - 1]
+        skip_last_v = shard_base + dloc[gbe - 1]
         skip_max_tf_v = np.maximum.reduceat(tftds, gbs).astype(np.int64)
         skip_max_w_v = (
             np.maximum.reduceat(wq, gbs).astype(np.float64) / WDT_QUANT
         )
         skip_off_v = dbyte_starts[gbs] - term_byte_start[block_term]
-        skip_tf_off_v = tbyte_starts[gbs] - term_tf_start[block_term]
+        if tf_plain:
+            skip_tf_off_v = gbs - run_starts[block_term]
+        else:
+            skip_tf_off_v = tbyte_starts[gbs] - term_tf_start[block_term]
         list_off = pa.array(
             np.concatenate([[0], np.cumsum(nblocks)]).astype(np.int32)
         )

@@ -443,6 +443,10 @@ def _write_store_batch(
         pq.write_table(
             tbl.filter(pa.array(jb == b)),
             os.path.join(d, f"part-{tag:015d}.parquet"),
+            # id-column stats power read_bucket's row-group pruning;
+            # stats on payload columns (text / signature blobs) would
+            # store whole values as min/max in the footer
+            write_statistics=[id_col],
         )
 
 

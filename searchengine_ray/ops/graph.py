@@ -249,7 +249,10 @@ def write_bucketed(
         )
 
     ds.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
-        out_dir, partition_cols=["jb"]
+        out_dir, partition_cols=["jb"],
+        # stats only on the id column (read_bucket prunes on it); text /
+        # blob payload stats would copy whole values into the footer
+        write_statistics=[id_col],
     )
 
 

@@ -85,7 +85,7 @@ class _TermCursor:
     __slots__ = (
         "wqt", "global_ub", "block_last", "block_max_wdt", "blk", "nblocks",
         "_frag_rows", "_frag_of_block", "_block_in_frag", "_skip_n",
-        "_decoded", "cur_doc", "cur_wdt", "_pos",
+        "_decoded", "_tf_decoded", "cur_doc", "cur_wdt", "_pos",
     )
 
     def __init__(self, index, term: str, wqt: float, use_okapi: bool):
@@ -112,11 +112,15 @@ class _TermCursor:
         self.block_max_wdt = np.asarray(maxws, dtype=np.float64)
         self.nblocks = self.block_last.size
         self.blk = 0
-        self._decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._decoded: dict[int, np.ndarray] = {}
+        self._tf_decoded: dict[int, np.ndarray] = {}
         self._pos = 0
         self._load_block(0)
 
-    def _decode_block(self, b: int) -> tuple[np.ndarray, np.ndarray]:
+    def _decode_block(self, b: int) -> np.ndarray:
+        """Doc ids of block ``b`` (tfs decode separately, only when the
+        block is actually scored — the v3 split streams make the tf
+        bytes skippable)."""
         hit = self._decoded.get(b)
         if hit is not None:
             return hit
@@ -126,13 +130,9 @@ class _TermCursor:
         bif = self._block_in_frag[b]
         row = self._frag_rows[fi]
         offs = row["skip_offset"]
-        toffs = row["skip_tf_offset"]
         blob = row["blob"]
-        tf_blob = row["tf_blob"]
         start = offs[bif]
         end = offs[bif + 1] if bif + 1 < len(offs) else len(blob)
-        ts = toffs[bif]
-        te = toffs[bif + 1] if bif + 1 < len(toffs) else len(tf_blob)
         n_postings = min(self._skip_n, row["df"] - bif * self._skip_n)
         gaps = vbyte.decode(blob[start:end], count=n_postings).astype(
             np.int64)
@@ -140,18 +140,34 @@ class _TermCursor:
         # block's last doc (continuous deltas across blocks)
         base = row["skip_last_doc"][bif - 1] if bif > 0 else 0
         doc_ids = base + np.cumsum(gaps)
+        self._decoded[b] = doc_ids
+        return doc_ids
+
+    def _block_tfs(self, b: int) -> np.ndarray:
+        hit = self._tf_decoded.get(b)
+        if hit is not None:
+            return hit
+        from .. import vbyte
+
+        fi = self._frag_of_block[b]
+        bif = self._block_in_frag[b]
+        row = self._frag_rows[fi]
+        toffs = row["skip_tf_offset"]
+        tf_blob = row["tf_blob"]
+        ts = toffs[bif]
+        te = toffs[bif + 1] if bif + 1 < len(toffs) else len(tf_blob)
+        n_postings = min(self._skip_n, row["df"] - bif * self._skip_n)
         tftds = vbyte.decode(tf_blob[ts:te], count=n_postings).astype(
             np.int64)
-        out = (doc_ids, tftds)
-        self._decoded[b] = out
-        return out
+        self._tf_decoded[b] = tftds
+        return tftds
 
     def _load_block(self, b: int) -> None:
         self.blk = b
         if b >= self.nblocks:
             self.cur_doc = np.iinfo(np.int64).max
             return
-        doc_ids, _ = self._decode_block(b)
+        doc_ids = self._decode_block(b)
         self._pos = 0
         self.cur_doc = int(doc_ids[0])
 
@@ -176,13 +192,13 @@ class _TermCursor:
                 self.cur_doc = np.iinfo(np.int64).max
                 return
             self._load_block(b)
-        doc_ids, _ = self._decode_block(self.blk)
+        doc_ids = self._decode_block(self.blk)
         p = int(np.searchsorted(doc_ids, target, side="left"))
         self._pos = p
         self.cur_doc = int(doc_ids[p])
 
     def advance(self) -> None:
-        doc_ids, _ = self._decode_block(self.blk)
+        doc_ids = self._decode_block(self.blk)
         self._pos += 1
         if self._pos >= doc_ids.size:
             self._load_block(self.blk + 1)
@@ -190,8 +206,7 @@ class _TermCursor:
             self.cur_doc = int(doc_ids[self._pos])
 
     def current_tf(self) -> int:
-        _, tftds = self._decode_block(self.blk)
-        return int(tftds[self._pos])
+        return int(self._block_tfs(self.blk)[self._pos])
 
 
 def rank_bm25_wand(index, raw_query: str, top_k: int = 10) -> list[tuple[int, float]]:

@@ -95,6 +95,11 @@ class DiskIndexReader:
         self._files: list[str] = []
         self._row_group_rows: list[np.ndarray] = []
         self._terms: dict[str, list[Fragment]] = {}
+        # parallel per-file stat arrays kept for the vectorized
+        # term_stats() path (one reduceat instead of a per-term walk)
+        self._stat_terms: list[np.ndarray] = []
+        self._stat_df: list[np.ndarray] = []
+        self._stat_cf: list[np.ndarray] = []
         want = set(buckets) if buckets is not None else None
         for seg in self.manifest["segments"]:
             if want is not None and not (want & set(seg["buckets"])):
@@ -121,15 +126,21 @@ class DiskIndexReader:
             dfs = tbl.column("df").to_numpy()
             cfs = tbl.column("cf").to_numpy()
             maxw = tbl.column("max_wdt").to_numpy()
-            for i, t in enumerate(terms):
-                # row-level bucket filter: a segment file holds many
-                # buckets, and a sharded reader must own each term
-                # EXCLUSIVELY (overlapping shards double-count scores)
-                if want is not None and int(bks[i]) not in want:
-                    continue
+            # row-level bucket filter: a segment file holds many buckets,
+            # and a sharded reader must own each term EXCLUSIVELY
+            # (overlapping shards double-count scores)
+            rows = (np.flatnonzero(np.isin(bks, list(want)))
+                    if want is not None else np.arange(len(terms)))
+            self._stat_terms.append(
+                np.asarray([terms[i] for i in rows], dtype=object))
+            self._stat_df.append(dfs[rows])
+            self._stat_cf.append(cfs[rows])
+            for i in rows:
+                t = terms[i]
                 self._terms.setdefault(t, []).append(
-                    Fragment(file_idx, i, int(shards[i]), int(salts[i]),
-                             int(dfs[i]), int(cfs[i]), float(maxw[i]))
+                    Fragment(file_idx, int(i), int(shards[i]),
+                             int(salts[i]), int(dfs[i]), int(cfs[i]),
+                             float(maxw[i]))
                 )
         for frags in self._terms.values():
             frags.sort(key=lambda fr: (fr.shard, fr.salt))
@@ -141,17 +152,28 @@ class DiskIndexReader:
         return sorted(self._terms)
 
     def term_stats(self) -> tuple[list[str], np.ndarray, np.ndarray]:
-        """(sorted terms, df, cf) in one pass over the dictionary —
-        vocabulary-stat consumers should use this instead of per-term
-        df()/cf() lookups (2 dict probes per term)."""
-        terms = sorted(self._terms)
-        df = np.empty(len(terms), dtype=np.int64)
-        cf = np.empty(len(terms), dtype=np.int64)
-        for i, t in enumerate(terms):
-            frags = self._terms[t]
-            df[i] = sum(fr.df for fr in frags)
-            cf[i] = sum(fr.cf for fr in frags)
-        return terms, df, cf
+        """(sorted terms, df, cf) fully vectorized: concat the per-file
+        stat arrays kept at dictionary load, C-sort the fixed-width
+        unicode view, sum fragments per term with one reduceat —
+        no per-term Python walk over the fragment lists."""
+        if not self._stat_terms:
+            return [], np.empty(0, np.int64), np.empty(0, np.int64)
+        terms = np.concatenate(self._stat_terms)
+        df = np.concatenate(self._stat_df).astype(np.int64)
+        cf = np.concatenate(self._stat_cf).astype(np.int64)
+        # '<U' dtype sorts by code point in C — identical order to
+        # Python's sorted() on str
+        order = np.argsort(terms.astype(str), kind="stable")
+        t_sorted = terms[order]
+        new = np.empty(len(t_sorted), dtype=bool)
+        new[0] = True
+        new[1:] = t_sorted[1:] != t_sorted[:-1]
+        starts = np.flatnonzero(new)
+        return (
+            t_sorted[starts].tolist(),
+            np.add.reduceat(df[order], starts),
+            np.add.reduceat(cf[order], starts),
+        )
 
     def df(self, term: str) -> int:
         frags = self._terms.get(term)

@@ -31,9 +31,13 @@ def _as_unsigned(values: np.ndarray) -> np.ndarray:
 
 
 def encoded_lengths(values: np.ndarray) -> np.ndarray:
-    """Byte length of each value's VByte encoding (vectorized)."""
+    """Byte length of each value's VByte encoding (vectorized).
+
+    Returns uint8 (a VByte length is <= 10): callers cumsum with an
+    explicit dtype — the narrow array matters because length arrays sit
+    in bandwidth-bound encode loops."""
     v = _as_unsigned(values)
-    lengths = np.ones(v.shape, dtype=np.int64)
+    lengths = np.ones(v.shape, dtype=np.uint8)
     big_idx = np.flatnonzero(v >= 128)
     if big_idx.size == 0:
         return lengths
@@ -63,7 +67,8 @@ def encode(values: np.ndarray, lengths: np.ndarray | None = None) -> bytes:
         return v.astype(np.uint8).tobytes()
     total = int(lengths.sum())
     out = np.empty(total, dtype=np.uint8)
-    ends = np.cumsum(lengths)
+    idx_dt = np.int32 if total < (1 << 31) else np.int64
+    ends = np.cumsum(lengths, dtype=idx_dt)
     starts = ends - lengths
     # round 0 writes every value's first byte in one vector op
     first = (v & v.dtype.type(0x7F)).astype(np.uint8)

@@ -122,6 +122,17 @@ class TestIndexParity:
             assert engine.index.df(term) == len(postings)
             assert engine.index.cf(term) == sum(len(v) for v in postings.values())
 
+    def test_term_stats_vectorized(self, engine, oracle):
+        """The reduceat-based term_stats() must agree with per-term
+        df()/cf() (which sum Fragment objects) over the WHOLE vocabulary
+        of a multi-shard, salted index."""
+        terms, df, cf = engine.index.term_stats()
+        assert terms == sorted(oracle.index.keys())
+        for i, t in enumerate(terms):
+            postings = oracle.index[t]
+            assert df[i] == len(postings), t
+            assert cf[i] == sum(len(v) for v in postings.values()), t
+
     def test_doc_stats(self, engine, oracle):
         for d in range(0, oracle.num_docs, 37):
             assert engine.index.get_document_length(d) == oracle.doc_length[d]

@@ -47,3 +47,17 @@ def test_roundtrip_property(values):
 def test_count_mismatch_raises():
     with pytest.raises(ValueError):
         vbyte.decode(b"\x01\x02", count=3)
+
+
+def test_int64_view_matches_uint64():
+    """int64 inputs (doc-gap arrays) take the zero-copy view fast path;
+    encoding must be byte-identical to the uint64 equivalent, including
+    for non-contiguous inputs."""
+    vals = np.array([0, 1, 127, 128, 300, 2**21, 2**40], dtype=np.int64)
+    assert vbyte.encode(vals) == vbyte.encode(vals.astype(np.uint64))
+    strided = np.arange(400, dtype=np.int64)[::2]
+    assert vbyte.encode(strided) == vbyte.encode(strided.astype(np.uint64))
+    assert np.array_equal(
+        vbyte.decode(vbyte.encode(vals), count=vals.size),
+        vals.astype(np.uint64),
+    )
