@@ -91,16 +91,22 @@ class DiskIndexReader:
     # ---- term dictionary (ST3) ----
 
     def _load_dictionary(self, buckets: list[int] | None) -> None:
+        """Columnar dictionary: all fragment rows live in parallel numpy
+        arrays sorted by (term, shard, salt); a dict maps each term to
+        its contiguous row range.  Fragment objects materialise lazily
+        per lookup — at 10M+ terms this loads via one vectorized Arrow
+        sort instead of per-row Python appends and holds ~40 B/row
+        instead of a Fragment object per row."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         seg_dir = os.path.join(self.index_dir, "segments")
         self._files: list[str] = []
         self._row_group_rows: list[np.ndarray] = []
-        self._terms: dict[str, list[Fragment]] = {}
-        # parallel per-file stat arrays kept for the vectorized
-        # term_stats() path (one reduceat instead of a per-term walk)
-        self._stat_terms: list[np.ndarray] = []
-        self._stat_df: list[np.ndarray] = []
-        self._stat_cf: list[np.ndarray] = []
         want = set(buckets) if buckets is not None else None
+        term_chunks: list[pa.Array] = []
+        file_l, row_l = [], []
+        shard_l, salt_l, df_l, cf_l, maxw_l = [], [], [], [], []
         for seg in self.manifest["segments"]:
             if want is not None and not (want & set(seg["buckets"])):
                 continue
@@ -119,76 +125,120 @@ class DiskIndexReader:
                 columns=["term", "shard", "salt", "bucket", "df", "cf",
                          "max_wdt"],
             )
-            terms = tbl.column("term").to_pylist()
-            shards = tbl.column("shard").to_numpy()
-            salts = tbl.column("salt").to_numpy()
-            bks = tbl.column("bucket").to_numpy()
-            dfs = tbl.column("df").to_numpy()
-            cfs = tbl.column("cf").to_numpy()
-            maxw = tbl.column("max_wdt").to_numpy()
+            n_rows = tbl.num_rows
+            term_col = tbl.column("term").combine_chunks()
+            if isinstance(term_col, pa.ChunkedArray):
+                term_col = (term_col.chunk(0) if term_col.num_chunks
+                            else pa.array([], type=pa.string()))
             # row-level bucket filter: a segment file holds many buckets,
             # and a sharded reader must own each term EXCLUSIVELY
             # (overlapping shards double-count scores)
-            rows = (np.flatnonzero(np.isin(bks, list(want)))
-                    if want is not None else np.arange(len(terms)))
-            self._stat_terms.append(
-                np.asarray([terms[i] for i in rows], dtype=object))
-            self._stat_df.append(dfs[rows])
-            self._stat_cf.append(cfs[rows])
-            for i in rows:
-                t = terms[i]
-                self._terms.setdefault(t, []).append(
-                    Fragment(file_idx, int(i), int(shards[i]),
-                             int(salts[i]), int(dfs[i]), int(cfs[i]),
-                             float(maxw[i]))
-                )
-        for frags in self._terms.values():
-            frags.sort(key=lambda fr: (fr.shard, fr.salt))
+            if want is not None:
+                bks = tbl.column("bucket").to_numpy()
+                rows = np.flatnonzero(np.isin(bks, list(want)))
+                term_col = term_col.take(pa.array(rows))
+            else:
+                rows = np.arange(n_rows, dtype=np.int64)
+            term_chunks.append(term_col)
+            file_l.append(np.full(len(rows), file_idx, dtype=np.int32))
+            row_l.append(rows.astype(np.int32))
+            shard_l.append(tbl.column("shard").to_numpy()[rows])
+            salt_l.append(tbl.column("salt").to_numpy()[rows])
+            df_l.append(tbl.column("df").to_numpy()[rows])
+            cf_l.append(tbl.column("cf").to_numpy()[rows])
+            maxw_l.append(tbl.column("max_wdt").to_numpy()[rows])
+
+        if not term_chunks or not sum(len(c) for c in term_chunks):
+            self._frag_file = np.empty(0, np.int32)
+            self._frag_row = np.empty(0, np.int32)
+            self._frag_shard = np.empty(0, np.int32)
+            self._frag_salt = np.empty(0, np.int32)
+            self._frag_df = np.empty(0, np.int64)
+            self._frag_cf = np.empty(0, np.int64)
+            self._frag_maxw = np.empty(0, np.float64)
+            self._term_slice: dict[str, tuple[int, int]] = {}
+            self._vocab: list[str] = []
+            self._vocab_starts = np.empty(0, np.int64)
+            return
+
+        terms_all = pa.chunked_array(term_chunks).combine_chunks()
+        shard_all = np.concatenate(shard_l)
+        salt_all = np.concatenate(salt_l)
+        # Arrow sorts strings by UTF-8 bytes == code-point order ==
+        # Python's sorted(); shard/salt tiebreak keeps each term's
+        # fragments doc-range-ordered for concatenation
+        order = pc.sort_indices(
+            pa.table({"t": terms_all, "sh": shard_all, "sa": salt_all}),
+            sort_keys=[("t", "ascending"), ("sh", "ascending"),
+                       ("sa", "ascending")],
+        ).to_numpy().astype(np.int64)
+        self._frag_file = np.concatenate(file_l)[order]
+        self._frag_row = np.concatenate(row_l)[order]
+        self._frag_shard = shard_all[order].astype(np.int32)
+        self._frag_salt = salt_all[order].astype(np.int32)
+        self._frag_df = np.concatenate(df_l)[order].astype(np.int64)
+        self._frag_cf = np.concatenate(cf_l)[order].astype(np.int64)
+        self._frag_maxw = np.concatenate(maxw_l)[order].astype(np.float64)
+        terms_sorted = terms_all.take(pa.array(order))
+        n = len(terms_sorted)
+        new = np.empty(n, dtype=bool)
+        new[0] = True
+        new[1:] = np.invert(
+            pc.equal(terms_sorted.slice(1),
+                     terms_sorted.slice(0, n - 1)).to_numpy(
+                         zero_copy_only=False))
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        vals = terms_sorted.to_pylist()
+        self._vocab = [vals[int(s)] for s in starts]
+        self._vocab_starts = starts
+        self._term_slice = {
+            t: (int(s), int(e))
+            for t, s, e in zip(self._vocab, starts.tolist(), ends.tolist())
+        }
 
     # ---- public API ----
 
     def get_vocabulary(self) -> list[str]:
         """Sorted vocabulary (reference: diskpositionalindex.py:52-55)."""
-        return sorted(self._terms)
+        return list(self._vocab)
 
     def term_stats(self) -> tuple[list[str], np.ndarray, np.ndarray]:
-        """(sorted terms, df, cf) fully vectorized: concat the per-file
-        stat arrays kept at dictionary load, C-sort the fixed-width
-        unicode view, sum fragments per term with one reduceat —
-        no per-term Python walk over the fragment lists."""
-        if not self._stat_terms:
+        """(sorted terms, df, cf) fully vectorized: the dictionary is
+        already term-sorted, so per-term sums are one reduceat over the
+        fragment arrays — no per-term Python walk."""
+        starts = self._vocab_starts
+        if not len(starts):
             return [], np.empty(0, np.int64), np.empty(0, np.int64)
-        terms = np.concatenate(self._stat_terms)
-        df = np.concatenate(self._stat_df).astype(np.int64)
-        cf = np.concatenate(self._stat_cf).astype(np.int64)
-        # '<U' dtype sorts by code point in C — identical order to
-        # Python's sorted() on str
-        order = np.argsort(terms.astype(str), kind="stable")
-        t_sorted = terms[order]
-        new = np.empty(len(t_sorted), dtype=bool)
-        new[0] = True
-        new[1:] = t_sorted[1:] != t_sorted[:-1]
-        starts = np.flatnonzero(new)
         return (
-            t_sorted[starts].tolist(),
-            np.add.reduceat(df[order], starts),
-            np.add.reduceat(cf[order], starts),
+            list(self._vocab),
+            np.add.reduceat(self._frag_df, starts),
+            np.add.reduceat(self._frag_cf, starts),
         )
 
     def df(self, term: str) -> int:
-        frags = self._terms.get(term)
-        return sum(fr.df for fr in frags) if frags else 0
+        s = self._term_slice.get(term)
+        return int(self._frag_df[s[0]:s[1]].sum()) if s else 0
 
     def cf(self, term: str) -> int:
-        frags = self._terms.get(term)
-        return sum(fr.cf for fr in frags) if frags else 0
+        s = self._term_slice.get(term)
+        return int(self._frag_cf[s[0]:s[1]].sum()) if s else 0
 
     def max_wdt(self, term: str) -> float:
-        frags = self._terms.get(term)
-        return max((fr.max_wdt for fr in frags), default=0.0) if frags else 0.0
+        s = self._term_slice.get(term)
+        return float(self._frag_maxw[s[0]:s[1]].max()) if s else 0.0
 
     def fragments(self, term: str) -> list[Fragment]:
-        return self._terms.get(term, [])
+        s = self._term_slice.get(term)
+        if not s:
+            return []
+        return [
+            Fragment(int(self._frag_file[i]), int(self._frag_row[i]),
+                     int(self._frag_shard[i]), int(self._frag_salt[i]),
+                     int(self._frag_df[i]), int(self._frag_cf[i]),
+                     float(self._frag_maxw[i]))
+            for i in range(s[0], s[1])
+        ]
 
     def get_document_length(self, doc_id: int) -> int:
         return int(self.doc_length[doc_id])
@@ -203,7 +253,7 @@ class DiskIndexReader:
         if hit is not None:
             self._cache.move_to_end(key)
             return hit
-        frags = self._terms.get(term)
+        frags = self.fragments(term)
         if not frags:
             out = PostingList.empty(with_positions)
         else:

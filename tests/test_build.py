@@ -5,6 +5,8 @@ import hashlib
 import json
 import os
 
+import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -150,3 +152,56 @@ class TestResume:
         build_index(ds, d, cfg, input_description="v2")
         marker2 = json.load(open(os.path.join(d, "_STAGE_docterms.json")))
         assert "v2" in marker2["fingerprint"]
+
+
+class TestTfStreamPaths:
+    def test_tf_over_127_takes_vbyte_path(self, ray_session, tmp_path):
+        """A tftd >= 128 forces the general VByte tf stream (the common
+        all-tf<128 case stores raw low bytes with offsets == posting
+        indices); both paths must decode to exact tftds."""
+        import ray.data
+
+        from searchengine_ray.build import IndexBuildConfig, build_index
+        from searchengine_ray.query.reader import DiskIndexReader
+
+        docs = [
+            ("o/r", "a.py", "c1", "python", "zebra " * 200 + "apple"),
+            ("o/r", "b.py", "c2", "python", "apple zebra apple"),
+            ("o/r", "c.py", "c3", "python", "plain words here"),
+        ]
+        tbl = pa.table({
+            "repo": [d[0] for d in docs],
+            "path": [d[1] for d in docs],
+            "commit": [d[2] for d in docs],
+            "lang": [d[3] for d in docs],
+            "content": [d[4] for d in docs],
+        })
+        d = str(tmp_path / "idx_bigtf")
+        cfg = IndexBuildConfig(num_buckets=2, tokenize_concurrency=(1, 2),
+                               skip_block=8)
+        build_index(ray.data.from_arrow(tbl), d, cfg,
+                    input_description="bigtf")
+        r = DiskIndexReader(d)
+        pl = r.get_postings("zebra", with_positions=True)
+        assert sorted(pl.tftds.tolist(), reverse=True)[0] == 200
+        assert pl.tftds.sum() == r.cf("zebra")
+        doc_of_200 = pl.doc_ids[pl.tftds.tolist().index(200)]
+        # positions round-trip through the pos stream for the fat posting
+        offs = pl.pos_offsets
+        i = pl.doc_ids.tolist().index(doc_of_200)
+        pos = pl.positions[offs[i]:offs[i + 1]]
+        assert len(pos) == 200
+        assert (np.diff(pos) > 0).all()
+        # the sibling plain-path term in the same index decodes too
+        pl2 = r.get_postings("appl")   # analyzer stems apple -> appl
+        assert pl2.tftds.tolist() == [1, 2]
+
+        # WAND over the mixed index stays rank-identical to exact
+        from searchengine_ray.query.ranked import (
+            rank_bm25_wand, rank_documents_exact)
+        exact = rank_documents_exact(r, "zebra apple", use_okapi=True,
+                                     top_k=3)
+        wand = rank_bm25_wand(r, "zebra apple", top_k=3)
+        assert [d_ for d_, _ in exact] == [d_ for d_, _ in wand]
+        for (_, es), (_, ws) in zip(exact, wand):
+            assert abs(es - ws) < 1e-9
