@@ -298,6 +298,72 @@ def bw_probe(workers: int = 4, mb: int = 64, iters: int = 5) -> float:
 QUIET_GBPS = float(os.environ.get("GRAFT_QUIET_GBPS", "5.0"))
 QUIET_ATTEMPTS = int(os.environ.get("GRAFT_QUIET_ATTEMPTS", "8"))
 QUIET_WAIT_S = float(os.environ.get("GRAFT_QUIET_WAIT_S", "20"))
+# In-build probe: the bracketing probes cannot see a co-tenant storm that
+# starts and ends INSIDE a 6-8-minute leg (observed twice: a "qualified"
+# rep slower than its gate-disqualified sibling, SCALING_r03_run3).  A
+# single-thread 16 MB copier sampled every ~25 s is light enough not to
+# perturb the build but catches the >10x swings.  The during-gate
+# threshold is deliberately loose — the build itself legitimately loads
+# the bus — at QUIET_GBPS/8 single-stream (default 0.625 GB/s; quiet
+# single-stream measures 2-4 GB/s here, storms measure 0.05-0.3).
+QUIET_DURING = os.environ.get("GRAFT_QUIET_DURING", "1") != "0"
+QUIET_DURING_GBPS = float(
+    os.environ.get("GRAFT_QUIET_DURING_GBPS", str(QUIET_GBPS / 8)))
+QUIET_DURING_PERIOD_S = float(
+    os.environ.get("GRAFT_QUIET_DURING_PERIOD_S", "25"))
+
+
+def light_probe(mb: int = 16, iters: int = 3) -> float:
+    """Single-thread memcpy GB/s (~50-300 ms): the in-build sampler."""
+    import numpy as np
+
+    a = np.ones(mb * 131072, dtype=np.int64)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        b = a.copy()
+        del b
+    return round((mb / 1024) * iters / (time.perf_counter() - t0), 2)
+
+
+class _DuringSampler:
+    """Daemon thread sampling light_probe while a leg runs."""
+
+    def __init__(self):
+        import threading
+
+        self.samples: list[float] = []
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _run(self) -> None:
+        while not self._stop.wait(QUIET_DURING_PERIOD_S):
+            self.samples.append(light_probe())
+
+    def __enter__(self):
+        if QUIET_DURING:
+            self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        if QUIET_DURING:
+            self._thread.join(timeout=5)
+
+    @property
+    def min_gbps(self) -> float | None:
+        return min(self.samples) if self.samples else None
+
+    @property
+    def ok(self) -> bool:
+        """Disqualify only on a SUSTAINED dip (two consecutive samples
+        below threshold): a single low sample is usually the probe
+        colliding with one of the build's own memcpy bursts, while the
+        co-tenant storms this gate exists for last minutes."""
+        s = self.samples
+        return not any(
+            s[i] < QUIET_DURING_GBPS and s[i + 1] < QUIET_DURING_GBPS
+            for i in range(len(s) - 1)
+        )
 
 
 def _await_quiet_window() -> tuple[float, bool]:
@@ -355,12 +421,13 @@ def run_scaling() -> dict:
             best = None
             for _ in range(reps):
                 pre_g, pre_ok = _await_quiet_window()
-                proc = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--_single-build", str(n), str(n_docs)],
-                    capture_output=True, text=True, timeout=3600,
-                    cwd=os.path.dirname(os.path.abspath(__file__)),
-                )
+                with _DuringSampler() as sampler:
+                    proc = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__),
+                         "--_single-build", str(n), str(n_docs)],
+                        capture_output=True, text=True, timeout=3600,
+                        cwd=os.path.dirname(os.path.abspath(__file__)),
+                    )
                 line = [l for l in proc.stdout.splitlines()
                         if l.startswith("{")]
                 if not line:
@@ -372,7 +439,10 @@ def run_scaling() -> dict:
                 r = json.loads(line[-1])
                 r["pre_gbps"] = pre_g
                 r["post_gbps"] = post_g
-                r["window_ok"] = bool(pre_ok and post_g >= QUIET_GBPS)
+                r["during_gbps"] = sampler.samples
+                r["during_min_gbps"] = sampler.min_gbps
+                r["window_ok"] = bool(pre_ok and post_g >= QUIET_GBPS
+                                      and sampler.ok)
                 rep_log[n].append(r)
                 if best is None:
                     best = r
