@@ -279,7 +279,9 @@ def _explode_arrays(
         "uniq": uniq,
         "doc_ids": doc_ids,
         "dls": dls,
-        "tftds": flat_tftds.to_numpy(zero_copy_only=False).astype(np.int64),
+        # stays int32 (the docterms list dtype): every consumer either
+        # promotes to float (wdt) or ships int32 (exchange rows)
+        "tftds": flat_tftds.to_numpy(zero_copy_only=False),
         "pos_blob": pos_blob,
         "gkey": gkey,
     }
@@ -478,7 +480,8 @@ def _map_runs(
                         (doc_s[s_i:e_i] - shard * dps).astype(np.int32)
                     ),
                     "wq": pa.array(wq_s[s_i:e_i]),
-                    "tftd": pa.array(tf_s[s_i:e_i].astype(np.int32)),
+                    "tftd": pa.array(tf_s[s_i:e_i].astype(np.int32,
+                                                          copy=False)),
                     "pos_blob": pos_s.slice(s_i, e_i - s_i),
                 }
             )
