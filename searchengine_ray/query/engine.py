@@ -62,7 +62,7 @@ class QueryEngine:
         return rank_documents_exact(self.index, raw_query, use_okapi, top_k=top_k)
 
     def titles(self, doc_ids) -> list[str]:
-        return [self.index.get_title(int(d)) for d in doc_ids]
+        return self.index.get_titles([int(d) for d in doc_ids])
 
 
 class QueryActor:

@@ -71,22 +71,55 @@ class DiskIndexReader:
     # ---- doc stats (ST4/ST5) ----
 
     def _load_doc_stats(self) -> None:
-        tbl = pq.read_table(
-            os.path.join(
-                self.index_dir, self.manifest.get("doc_stats_dir", "docstats")
-            ),
-            columns=["doc_id", "title", "doc_length", "l_d"],
+        """doc_length / l_d as memory-mapped sidecar arrays.
+
+        The first reader converts the docstats parquet into dense .npy
+        files (write-once, tmp+rename so concurrent readers race
+        safely); every reader then np.memmap's them — the actors of a
+        sharded pool share one page-cache copy instead of each holding
+        an O(corpus) heap array, and pages load lazily.  Titles are not
+        materialised at all: ``get_titles`` point-reads the parquet
+        per result page (they are only needed to render top-k hits)."""
+        ds_dir = os.path.join(
+            self.index_dir, self.manifest.get("doc_stats_dir", "docstats")
         )
-        ids = tbl.column("doc_id").to_numpy()
-        order = np.argsort(ids)
-        n = self.num_docs
-        self.doc_length = np.zeros(n, dtype=np.int64)
-        self.l_d = np.ones(n, dtype=np.float64)
-        self.doc_length[ids[order]] = tbl.column("doc_length").to_numpy()[order]
-        self.l_d[ids[order]] = tbl.column("l_d").to_numpy()[order]
-        titles = np.asarray(tbl.column("title").to_pylist(), dtype=object)
-        self.title = np.empty(n, dtype=object)
-        self.title[ids[order]] = titles[order]
+        self._docstats_dir = ds_dir
+        cache_dir = os.path.join(self.index_dir, "docstats_cache")
+        dl_p = os.path.join(cache_dir, "doc_length.npy")
+        ld_p = os.path.join(cache_dir, "l_d.npy")
+        fp_p = os.path.join(cache_dir, "_FINGERPRINT")
+        fingerprint = str(self.manifest.get("fingerprint", ""))
+        fresh = False
+        try:
+            with open(fp_p) as f:
+                fresh = f.read() == fingerprint
+        except OSError:
+            pass
+        if not (fresh and os.path.exists(dl_p) and os.path.exists(ld_p)):
+            os.makedirs(cache_dir, exist_ok=True)
+            tbl = pq.read_table(
+                ds_dir, columns=["doc_id", "doc_length", "l_d"])
+            ids = tbl.column("doc_id").to_numpy()
+            order = np.argsort(ids)
+            n = self.num_docs
+            dl = np.zeros(n, dtype=np.int64)
+            ld = np.ones(n, dtype=np.float64)
+            dl[ids[order]] = tbl.column("doc_length").to_numpy()[order]
+            ld[ids[order]] = tbl.column("l_d").to_numpy()[order]
+            for path, arr in ((dl_p, dl), (ld_p, ld)):
+                tmp = f"{path}.{os.getpid()}.tmp.npy"
+                with open(tmp, "wb") as f:
+                    np.save(f, arr)
+                os.replace(tmp, path)
+            # fingerprint marker written LAST: a stale-marker crash
+            # window re-derives the arrays, never misreads them
+            tmp = f"{fp_p}.{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
+                f.write(fingerprint)
+            os.replace(tmp, fp_p)
+        self.doc_length = np.load(dl_p, mmap_mode="r")
+        self.l_d = np.load(ld_p, mmap_mode="r")
+        self._title_cache: OrderedDict[int, str] = OrderedDict()
 
     # ---- term dictionary (ST3) ----
 
@@ -243,8 +276,27 @@ class DiskIndexReader:
     def get_document_length(self, doc_id: int) -> int:
         return int(self.doc_length[doc_id])
 
+    def get_titles(self, doc_ids: list[int]) -> list[str]:
+        """Titles for a result page: one column- and row-group-pruned
+        parquet read for the uncached ids (LRU-cached after)."""
+        missing = [int(d) for d in set(doc_ids)
+                   if int(d) not in self._title_cache]
+        if missing:
+            import pyarrow.dataset as pads
+
+            tbl = pads.dataset(self._docstats_dir).to_table(
+                columns=["doc_id", "title"],
+                filter=pads.field("doc_id").isin(missing),
+            )
+            for i, t in zip(tbl.column("doc_id").to_pylist(),
+                            tbl.column("title").to_pylist()):
+                self._title_cache[i] = t
+            while len(self._title_cache) > 4 * self._cache_size:
+                self._title_cache.popitem(last=False)
+        return [str(self._title_cache[int(d)]) for d in doc_ids]
+
     def get_title(self, doc_id: int) -> str:
-        return str(self.title[doc_id])
+        return self.get_titles([int(doc_id)])[0]
 
     def get_postings(self, term: str, with_positions: bool = False) -> PostingList:
         """All postings for a term, doc_id-ascending across fragments."""
