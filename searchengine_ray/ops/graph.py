@@ -105,6 +105,56 @@ def _star_contract_bucket(group: pa.Table) -> pa.Table:
     )
 
 
+def _cc_fixpoint_table(tbl: pa.Table, max_rounds: int = 16) -> pa.Table:
+    """Run the SAME star contraction to fixpoint over one in-memory edge
+    table and emit (node, root) labels.  Used by the small-graph fast
+    path of ``connected_components`` — identical math, zero shuffle
+    rounds."""
+    if tbl.num_rows == 0:
+        return pa.table({"node": pa.array([], type=pa.int64()),
+                         "root": pa.array([], type=pa.int64())})
+    for _ in range(max_rounds):
+        out = _star_contract_bucket(tbl.select(["u", "v"]))
+        done = not pc.sum(out.column("chg")).as_py()
+        tbl = out.select(["u", "v"])
+        if done or tbl.num_rows == 0:
+            break
+    u = tbl.column("u").to_numpy(zero_copy_only=False)
+    v = tbl.column("v").to_numpy(zero_copy_only=False)
+    if u.size == 0:
+        return pa.table({"node": pa.array([], type=pa.int64()),
+                         "root": pa.array([], type=pa.int64())})
+    order = np.lexsort((v, u))
+    us, vs = u[order], v[order]
+    starts = np.flatnonzero(np.r_[True, us[1:] != us[:-1]])
+    node = us[starts]
+    root = np.minimum(node, vs[starts])   # per-u min(v) is the segment head
+    return pa.table({"node": pa.array(node, type=pa.int64()),
+                     "root": pa.array(root, type=pa.int64())})
+
+
+@ray.remote
+def _small_cc_task(max_rounds: int, *blocks: pa.Table) -> pa.Table:
+    # empty blocks can carry the pre-map schema (Ray Data passes them
+    # through untouched), so keep only real edge blocks
+    tabs = [b.select(["u", "v"]) for b in blocks
+            if b.num_rows and "u" in b.schema.names]
+    if not tabs:
+        return _cc_fixpoint_table(pa.table(
+            {"u": pa.array([], type=pa.int64()),
+             "v": pa.array([], type=pa.int64())}), max_rounds)
+    return _cc_fixpoint_table(pa.concat_tables(tabs), max_rounds)
+
+
+# Below this many (bidirectional) edges the whole graph runs as ONE Ray
+# task instead of per-round groupbys: dup graphs at bench scale are a few
+# thousand edges, and each distributed round costs ~0.3-0.5 s of fixed
+# groupby latency.  200k edges is ~3 MB — comfortably one task; beyond
+# it the distributed rounds take over.  Env-tunable for A/B runs.
+CC_SMALL_GRAPH_EDGES = int(os.environ.get("SE_RAY_CC_SMALL_EDGES",
+                                          "200000"))
+
+
 def connected_components(
     pairs: ray.data.Dataset,
     id_a: str = "id_a",
@@ -134,6 +184,11 @@ def connected_components(
             pa.table({"node": pa.array([], type=pa.int64()),
                       "root": pa.array([], type=pa.int64())})
         )
+    if n_edges <= CC_SMALL_GRAPH_EDGES:
+        # small-graph fast path: one remote task, same contraction math,
+        # no per-round groupby latency; the driver only moves refs
+        ref = _small_cc_task.remote(max_rounds, *edges.to_arrow_refs())
+        return ray.data.from_arrow_refs([ref])
     # bucket count: one numpy pass handles ~500k edges comfortably;
     # scale buckets with the graph so no bucket is a straggler
     num_buckets = int(max(16, min(4096, n_edges // 250_000 + 16)))
