@@ -72,6 +72,20 @@ class TestConnectedComponents:
         }
         assert labels == _uf_reference(edges)
 
+    def test_distributed_path_parity(self, ray_session, monkeypatch):
+        """Force the distributed rounds on a small graph: identical
+        labels to the single-task fast path / union-find."""
+        import searchengine_ray.ops.graph as g
+        from searchengine_ray.ops.graph import connected_components
+
+        monkeypatch.setattr(g, "CC_SMALL_GRAPH_EDGES", 0)
+        edges = [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (40, 5)]
+        labels = {
+            r["node"]: r["root"]
+            for r in connected_components(_pairs_ds(edges)).take_all()
+        }
+        assert labels == _uf_reference(edges)
+
     def test_duplicate_edges(self, ray_session):
         from searchengine_ray.ops.graph import connected_components
 
