@@ -148,3 +148,48 @@ class TestIndexParity:
             assert pl.doc_ids.tolist() == sorted(want)
             for i, d in enumerate(pl.doc_ids.tolist()):
                 assert pl.positions_of(i).tolist() == want[d]
+
+
+class TestDocStatsSidecars:
+    def test_memmap_sidecars_and_fingerprint_guard(self, built_index, oracle):
+        """Readers share write-once .npy sidecars; a stale fingerprint
+        marker (e.g. after an index rebuild) forces re-derivation."""
+        import os
+
+        from searchengine_ray.query.reader import DiskIndexReader
+
+        index_dir, _ = built_index
+        r1 = DiskIndexReader(index_dir)
+        cache = os.path.join(index_dir, "docstats_cache")
+        assert os.path.exists(os.path.join(cache, "doc_length.npy"))
+        assert os.path.exists(os.path.join(cache, "_FINGERPRINT"))
+        # values match the independent oracle through the memmap
+        for d in range(0, oracle.num_docs, 53):
+            assert r1.get_document_length(d) == oracle.doc_length[d]
+        # second reader reuses the files (marker untouched)
+        before = os.path.getmtime(os.path.join(cache, "doc_length.npy"))
+        r2 = DiskIndexReader(index_dir)
+        assert os.path.getmtime(
+            os.path.join(cache, "doc_length.npy")) == before
+        assert r2.get_document_length(7) == r1.get_document_length(7)
+        # stale marker -> rebuild, same values
+        with open(os.path.join(cache, "_FINGERPRINT"), "w") as f:
+            f.write("stale")
+        r3 = DiskIndexReader(index_dir)
+        assert open(os.path.join(cache, "_FINGERPRINT")).read() != "stale"
+        assert r3.get_document_length(7) == r1.get_document_length(7)
+
+    def test_lazy_titles_batch(self, engine):
+        """get_titles point-reads must agree with a direct scan of the
+        docstats parquet (the lazy path replaced a resident array)."""
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(engine.index._docstats_dir,
+                            columns=["doc_id", "title"])
+        want = dict(zip(tbl.column("doc_id").to_pylist(),
+                        tbl.column("title").to_pylist()))
+        ids = sorted(want)[::41]
+        titles = engine.index.get_titles(ids)
+        assert titles == [want[d] for d in ids]
+        # single lookup hits the cache path
+        assert engine.index.get_title(ids[0]) == titles[0]
