@@ -104,6 +104,14 @@ class ShardedQueryPool:
 
         return self._actor_of_bucket[term_bucket(term, self.num_buckets)]
 
+    def shutdown(self) -> None:
+        """Kill the shard actors (frees their dictionaries immediately —
+        needed when a process builds several pools, e.g. bench reps)."""
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+        self._actor_of_bucket = {}
+
     # ---- ranked ----
 
     def _submit_ranked(self, raw_query: str, use_okapi: bool):
