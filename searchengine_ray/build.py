@@ -106,6 +106,26 @@ class IndexBuildConfig:
         return self.tokenize_concurrency
 
 
+def _sha256_column(arr: pa.Array) -> list[str]:
+    """sha256 per row straight off the Arrow utf-8 data buffer (zero
+    re-encode; the per-row invariant vs the source parquet).  The hash
+    itself is the cost — this loop is not the hot path."""
+    import hashlib
+
+    if pa.types.is_large_string(arr.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype,
+                         count=len(arr) + 1, offset=arr.offset *
+                         np.dtype(off_dtype).itemsize)
+    data = memoryview(arr.buffers()[2]) if arr.buffers()[2] else memoryview(b"")
+    return [
+        hashlib.sha256(data[offs[i]:offs[i + 1]]).hexdigest()
+        for i in range(len(arr))
+    ]
+
+
 _WORKER_CACHES: dict[str, TokenTermCache] = {}
 
 
@@ -130,12 +150,39 @@ class TokenizeDocs:
         self.cfg = config
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .tokenizer import ANALYZERS
+        from .batch_tokenize import VECTORIZED_ANALYZERS
 
         cfg = self.cfg
         # resolved HERE (on the worker, not at driver pickle time) so the
         # cache is the executing process's one, shared across its tasks
         cache = _worker_cache(cfg.analyzer)
+        content_arr = _as_array(batch.column(cfg.content_col))
+        if cfg.analyzer in VECTORIZED_ANALYZERS:
+            from .batch_tokenize import analyze_batch
+
+            cols = analyze_batch(content_arr, cfg.analyzer, cache)
+            return pa.table(
+                {
+                    "doc_id": _as_array(batch.column(cfg.id_col)).cast(
+                        pa.int64()),
+                    "title": _as_array(batch.column(cfg.title_col)),
+                    "doc_length": pa.array(cols["doc_length"]),
+                    "l_d": pa.array(cols["l_d"]),
+                    "sha256": pa.array(_sha256_column(content_arr),
+                                       type=pa.string()),
+                    "terms": cols["terms"],
+                    "tftds": cols["tftds"],
+                    "positions": cols["positions"],
+                }
+            )
+        return self._call_per_doc(batch, cache)
+
+    def _call_per_doc(self, batch: pa.Table, cache) -> pa.Table:
+        """Per-doc fallback for analyzers without a vectorized batch path
+        (e.g. spanish); also the parity oracle for the vectorized path."""
+        from .tokenizer import ANALYZERS
+
+        cfg = self.cfg
         analyze = ANALYZERS[cfg.analyzer]
         contents = batch.column(cfg.content_col).to_pylist()
         titles = batch.column(cfg.title_col).to_pylist()

@@ -1,0 +1,108 @@
+"""Parity of the vectorized batch tokenizer (batch_tokenize.analyze_batch)
+with the per-doc reference chain (tokenizer.analyze_document*): the fast
+path must be bit-identical, including the reference quirks (empty types
+count toward doc_length and L_d but are never indexed; positions are
+1-based per stream token; pieces that strip to nothing consume no
+position)."""
+
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from searchengine_ray.build import IndexBuildConfig, TokenizeDocs, _worker_cache
+
+ADVERSARIAL = [
+    "Hello world-wide web",
+    "  \t leading  spaces\nand\nlines  ",
+    "",
+    "---",
+    "a-b-c x--y",
+    "don't \"quote\" me",
+    "héllo wörld naïve",
+    "same same same different",
+    "\n\n\n",
+    "end-",
+    "123 456.789 a1b2",
+    "tab\tseparated stays one-token",
+    "ALL CAPS Mixed Case",
+    "x \x1c y",
+    "a " * 200 + "b",
+    " - ",
+    "-' '-",
+    " nbsp token",  # non-breaking space: NOT a split char for T1
+]
+
+
+def _batch(docs):
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), type=pa.int64()),
+            "path": pa.array([f"p{i}" for i in range(len(docs))],
+                             type=pa.string()),
+            "content": pa.array(docs, type=pa.string()),
+        }
+    )
+
+
+def _assert_parity(docs, analyzer):
+    cfg = IndexBuildConfig(analyzer=analyzer)
+    tk = TokenizeDocs(cfg)
+    tbl = _batch(docs)
+    fast = tk(tbl)
+    slow = tk._call_per_doc(tbl, _worker_cache(analyzer))
+    assert fast.schema.equals(slow.schema)
+    for col in fast.column_names:
+        f, s = fast.column(col).to_pylist(), slow.column(col).to_pylist()
+        if col == "l_d":
+            assert all(abs(a - b) < 1e-12 for a, b in zip(f, s)), col
+        else:
+            assert f == s, col
+
+
+def test_adversarial_reference():
+    _assert_parity(ADVERSARIAL, "reference")
+
+
+def test_adversarial_whitespace():
+    _assert_parity(ADVERSARIAL, "whitespace")
+
+
+def test_empty_batch():
+    _assert_parity([], "reference")
+    _assert_parity([], "whitespace")
+
+
+def test_all_empty_docs():
+    _assert_parity(["", "", ""], "reference")
+    _assert_parity([" ", "\n", "--"], "reference")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="abcdef -'\"\n\t.é世 x",
+            min_size=0,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_property_parity_reference(docs):
+    _assert_parity(docs, "reference")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="abcdef \t\n  XZ.",
+            min_size=0,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_property_parity_whitespace(docs):
+    _assert_parity(docs, "whitespace")
