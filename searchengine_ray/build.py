@@ -1018,12 +1018,56 @@ def _dir_lineage(path: str) -> list[dict]:
     return out
 
 
+def _sum_counts(tbls: list[pa.Table]) -> pa.Table:
+    """Sum (term, n) tables by term, vectorized via dictionary codes."""
+    combined = pa.concat_tables(tbls).combine_chunks()
+    dic = _as_array(combined.column("term")).dictionary_encode()
+    codes = dic.indices.to_numpy(zero_copy_only=False)
+    ns = combined.column("n").to_numpy(zero_copy_only=False)
+    sums = np.zeros(len(dic.dictionary), dtype=np.int64)
+    np.add.at(sums, codes, ns)
+    keep = np.flatnonzero(sums > 0)
+    return pa.table(
+        {
+            "term": dic.dictionary.take(pa.array(keep)),
+            "n": pa.array(sums[keep], type=pa.int64()),
+        }
+    )
+
+
 @ray.remote
-def _heavy_partial_counts(files: list[str]) -> pa.Table | None:
+def _merge_counts(*tbls) -> pa.Table:
+    """Tree-reduce node: sum a fan-in of (term, n) partials."""
+    _pin_arrow_threads()
+    return _sum_counts([t for t in tbls if t is not None])
+
+
+@ray.remote
+def _filter_heavy(tbl: pa.Table, cutoff: float) -> pa.Table:
+    """Tree-reduce root: keep only terms whose summed sample count
+    clears the heavy cutoff — the driver then receives O(heavy set)
+    rows, never the vocabulary."""
+    _pin_arrow_threads()
+    ns = tbl.column("n").to_numpy(zero_copy_only=False)
+    keep = np.flatnonzero(ns >= cutoff)
+    return tbl.take(pa.array(keep))
+
+
+# engage the tree reduce above this many summed partial rows (tasks x
+# per-task distinct vocab); below it the driver-side sum is faster.
+# Env override for tests/A-Bs.
+HEAVY_TREE_ROWS = int(os.environ.get("SE_RAY_HEAVY_TREE_ROWS", "4000000"))
+_HEAVY_TREE_FANIN = 8
+
+
+@ray.remote
+def _heavy_partial_counts(files: list[str]) -> tuple[pa.Table | None, int]:
     """Per-task combiner for heavy-hitter detection: df counts of this
     task's sample files, summed over per-chunk dictionary codes (no flat
     term strings are ever materialized) and combined to one
-    (term, n) row per distinct term before leaving the task."""
+    (term, n) row per distinct term before leaving the task.  Returns
+    (table, row count) as two objects so the driver can inspect sizes
+    (to pick driver-sum vs tree-reduce) without fetching the tables."""
     _pin_arrow_threads()
     parts = []
     for f in files:
@@ -1046,20 +1090,9 @@ def _heavy_partial_counts(files: list[str]) -> pa.Table | None:
                 )
             )
     if not parts:
-        return None
-    combined = pa.concat_tables(parts).combine_chunks()
-    dic = _as_array(combined.column("term")).dictionary_encode()
-    codes = dic.indices.to_numpy(zero_copy_only=False)
-    ns = combined.column("n").to_numpy(zero_copy_only=False)
-    sums = np.zeros(len(dic.dictionary), dtype=np.int64)
-    np.add.at(sums, codes, ns)
-    keep = np.flatnonzero(sums > 0)
-    return pa.table(
-        {
-            "term": dic.dictionary.take(pa.array(keep)),
-            "n": pa.array(sums[keep], type=pa.int64()),
-        }
-    )
+        return None, 0
+    out = _sum_counts(parts)
+    return out, out.num_rows
 
 
 def detect_heavy_terms(
@@ -1092,29 +1125,78 @@ def detect_heavy_terms(
     # so counting is bincount over ints — the previous Ray Data path
     # re-hashed every flat term string per batch, which made the stage a
     # fixed ~10 s at ANY cpu count at 1M docs (anti-scaling, measured)
-    partial_refs = [_heavy_partial_counts.remote(g) for g in groups]
-    tbls = [t for t in ray.get(partial_refs) if t is not None]
-    if not tbls:
+    partial_refs = [
+        _heavy_partial_counts.options(num_returns=2).remote(g)
+        for g in groups
+    ]
+    tbl_refs = [r[0] for r in partial_refs]
+    part_rows = ray.get([r[1] for r in partial_refs])
+    total_rows = sum(part_rows)
+    if total_rows == 0:
         return {}
-    # driver-side final sum, vectorized: rows = tasks x per-task distinct
-    # vocab — small after the in-task combine.  At extreme vocab scale
-    # this becomes a tree reduce (pairwise merge tasks); a groupby
-    # shuffle is never needed for a threshold decision.
-    all_parts = pa.concat_tables(tbls).combine_chunks()
-    dic = _as_array(all_parts.column("term")).dictionary_encode()
-    codes = dic.indices.to_numpy(zero_copy_only=False)
-    ns = all_parts.column("n").to_numpy(zero_copy_only=False)
-    sums = np.zeros(len(dic.dictionary), dtype=np.int64)
-    np.add.at(sums, codes, ns)
-    est = sums * scale_up  # extrapolate sample -> corpus df estimate
+    if total_rows > HEAVY_TREE_ROWS and len(tbl_refs) > 1:
+        # tree reduce (VERDICT r3 #8): pairwise merge tasks sum the
+        # partials and the ROOT applies the heavy cutoff, so the driver
+        # receives O(heavy set) rows — never tasks x vocab
+        refs = [r for r, n in zip(tbl_refs, part_rows) if n]
+        while len(refs) > 1:
+            refs = [
+                _merge_counts.remote(*refs[i:i + _HEAVY_TREE_FANIN])
+                for i in range(0, len(refs), _HEAVY_TREE_FANIN)
+            ]
+        heavy_tbl = ray.get(
+            _filter_heavy.remote(refs[0], threshold / scale_up))
+    else:
+        # small vocab: one vectorized driver-side sum + local filter
+        tbls = [t for t in ray.get(tbl_refs)
+                if t is not None and t.num_rows]
+        all_parts = _sum_counts(tbls)
+        ns = all_parts.column("n").to_numpy(zero_copy_only=False)
+        keep = np.flatnonzero(ns >= threshold / scale_up)
+        heavy_tbl = all_parts.take(pa.array(keep))
+
+    ns = heavy_tbl.column("n").to_numpy(zero_copy_only=False)
+    est = ns * scale_up  # extrapolate sample -> corpus df estimate
     heavy = {}
-    for i in np.flatnonzero(est >= threshold):
-        t = dic.dictionary[int(i)].as_py()
+    for t, e in zip(heavy_tbl.column("term").to_pylist(), est):
         if t:
             heavy[t] = min(
-                cfg.max_salt, max(2, int(np.ceil(est[i] / threshold)))
+                cfg.max_salt, max(2, int(np.ceil(e / threshold)))
             )
     return heavy
+
+
+@ray.remote
+def _sum_doc_lengths(files: list[str]) -> tuple[int, int]:
+    """(rows, sum(doc_length)) over a group of docterms files — the
+    distributed corpus-scalar aggregate (one int64 column per file in
+    memory at a time, never the corpus)."""
+    _pin_arrow_threads()
+    rows, tot = 0, 0
+    for f in files:
+        t = pq.read_table(f, columns=["doc_length"])
+        rows += t.num_rows
+        tot += int(pa.compute.sum(t.column("doc_length")).as_py() or 0)
+    return rows, tot
+
+
+def corpus_scalars(docterms_dir: str) -> tuple[int, int]:
+    """(num_docs, total_tokens) via a small remote tree: the driver holds
+    O(tasks) partials, never an O(corpus) column (VERDICT r3 #4 — the old
+    single-process ``pq.read_table(columns=["doc_length"])`` materialised
+    8 GB on the driver at 10^9 docs)."""
+    files = sorted(
+        os.path.join(docterms_dir, f)
+        for f in os.listdir(docterms_dir)
+        if f.endswith(".parquet")
+    )
+    if not files:
+        return 0, 0
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_tasks = max(1, min(len(files), 2 * cpus))
+    groups = [files[i::n_tasks] for i in range(n_tasks)]
+    parts = ray.get([_sum_doc_lengths.remote(g) for g in groups])
+    return sum(p[0] for p in parts), sum(p[1] for p in parts)
 
 
 def build_index(
@@ -1183,11 +1265,9 @@ def build_index(
     if not _stage_done(index_dir, "segments", fingerprint):
         import shutil
 
-        # corpus scalars from a pruned single-column read — needed now so
-        # block-max BM25 wdt bounds go into the segments
-        dl_tbl = pq.read_table(docterms_dir, columns=["doc_length"])
-        n_docs = dl_tbl.num_rows
-        tot = int(pa.compute.sum(dl_tbl.column("doc_length")).as_py() or 0)
+        # corpus scalars via a distributed pruned-column aggregate —
+        # needed now so block-max BM25 wdt bounds go into the segments
+        n_docs, tot = corpus_scalars(docterms_dir)
         avgdl = (tot / n_docs) if n_docs else 1.0
 
         heavy = detect_heavy_terms(docterms_dir, cfg)
@@ -1221,17 +1301,14 @@ def build_index(
     num_docs = seg_marker.get("num_docs")
     total_tokens = seg_marker.get("total_tokens")
     if num_docs is None or total_tokens is None:
-        stats_tbl = pq.read_table(docterms_dir, columns=["doc_length"])
-        num_docs = stats_tbl.num_rows
-        total_tokens = int(
-            pa.compute.sum(stats_tbl.column("doc_length")).as_py() or 0
-        )
+        num_docs, total_tokens = corpus_scalars(docterms_dir)
 
     with open(os.path.join(index_dir, "_STAGE_segments.json")) as f:
         heavy_terms = json.load(f).get("heavy_terms", {})
 
     manifest = {
         "version": 1,
+        "segment_format": SEGMENT_FORMAT,
         "input": input_description,
         "config": cfg.to_json(),
         "fingerprint": fingerprint,

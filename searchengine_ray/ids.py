@@ -40,20 +40,19 @@ def _composite_key(batch: pa.Table, key_cols: tuple[str, ...]) -> pa.Array:
     return joined
 
 
-def assign_doc_ids(
+def boundary_sample(
     ds: ray.data.Dataset,
-    key_cols: tuple[str, ...] = DEFAULT_KEY,
-    num_buckets: int | None = None,
-    sample_rate: float = 0.02,
-) -> ray.data.Dataset:
-    """Add a dense int64 ``doc_id`` column ordered by ``key_cols``."""
-    if num_buckets is None:
-        # ~128 MiB of input per bucket keeps one bucket within a worker heap;
-        # floor of 8 keeps small inputs parallel.
-        nbytes = ds.size_bytes() or 0
-        num_buckets = max(8, int(nbytes // (128 << 20)) + 1)
+    key_cols: tuple[str, ...],
+    num_buckets: int,
+    samples_per_bucket: int = 64,
+) -> list:
+    """Sorted driver-side key sample of size ~``num_buckets x
+    samples_per_bucket`` (+ at most one key per block), independent of
+    corpus row count."""
+    n_rows = ds.count() or 0
+    target = max(1, num_buckets * samples_per_bucket)
+    sample_rate = min(1.0, target / max(1, n_rows))
 
-    # 1. boundary sample (small driver-side take of keys only)
     def sample_keys(batch: pa.Table) -> pa.Table:
         keys = _composite_key(batch, key_cols)
         n = max(1, int(len(keys) * sample_rate))
@@ -61,7 +60,32 @@ def assign_doc_ids(
         return pa.table({"key": keys.take(np.arange(0, len(keys), step))})
 
     sampled = ds.map_batches(sample_keys, batch_format="pyarrow").take_all()
-    keys_sorted = sorted(r["key"] for r in sampled)
+    return sorted(r["key"] for r in sampled)
+
+
+def assign_doc_ids(
+    ds: ray.data.Dataset,
+    key_cols: tuple[str, ...] = DEFAULT_KEY,
+    num_buckets: int | None = None,
+    samples_per_bucket: int = 64,
+) -> ray.data.Dataset:
+    """Add a dense int64 ``doc_id`` column ordered by ``key_cols``.
+
+    The driver-side boundary sample is O(buckets), not O(corpus): the
+    per-batch stride is scaled so the whole pass yields ~``num_buckets x
+    samples_per_bucket`` keys (plus one per block — blocks are O(corpus
+    bytes / block size), not O(rows)).  ``ds.count()`` is metadata-only
+    for parquet sources, the input shape at real scale."""
+    if num_buckets is None:
+        # ~128 MiB of input per bucket keeps one bucket within a worker heap;
+        # floor of 8 keeps small inputs parallel.
+        nbytes = ds.size_bytes() or 0
+        num_buckets = max(8, int(nbytes // (128 << 20)) + 1)
+
+    # 1. boundary sample (driver-side take of keys only, capped at
+    #    ~samples_per_bucket keys per bucket regardless of corpus rows)
+    keys_sorted = boundary_sample(ds, key_cols, num_buckets,
+                                  samples_per_bucket)
     if keys_sorted:
         idx = np.linspace(0, len(keys_sorted) - 1, num_buckets + 1).astype(int)[1:-1]
         boundaries = sorted(set(keys_sorted[i] for i in idx))

@@ -19,6 +19,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray
 import ray.data
 
@@ -149,14 +150,19 @@ def _unit_sample(ds: ray.data.Dataset, vec_col: str, id_col: str,
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         h = (ids.astype(np.uint64) * _KNUTH) & np.uint64((1 << 32) - 1)
         m = h < thresh
-        unit = _normalize(vec_matrix(batch.column(vec_col))[m])
+        mat = vec_matrix(batch.column(vec_col))
+        unit = _normalize(mat[m])
+        # plain list<float64> (not fixed-size): an all-filtered or empty
+        # batch would otherwise emit fixed_size_list(float64, 0) — a
+        # block-schema mismatch with non-empty blocks (ADVICE r3)
+        n_keep, dim = unit.shape
+        offs = pa.array(
+            np.arange(0, (n_keep + 1) * dim, dim, dtype=np.int32))
         return pa.table(
             {
                 id_col: pa.array(ids[m], type=pa.int64()),
-                "unit": pa.FixedSizeListArray.from_arrays(
-                    pa.array(unit.reshape(-1), type=pa.float64()),
-                    unit.shape[1],
-                ),
+                "unit": pa.ListArray.from_arrays(
+                    offs, pa.array(unit.reshape(-1), type=pa.float64())),
             }
         )
 
@@ -177,6 +183,11 @@ def _kmeans_fit_distributed(
     ``map_batches`` computing per-batch (k x dim) partial sums + counts
     — the driver only ever holds O(k x dim) state, never the sample."""
     init_rows = sample_ds.limit(init_size).take_all()
+    if not init_rows:
+        raise ValueError(
+            "_kmeans_fit_distributed: empty sample — the caller must "
+            "fall back to a full-rate sample or fail on an empty input"
+        )
     init = np.asarray([r["unit"] for r in init_rows], dtype=np.float64)
     centroids = _kmeans_fit(init, n_clusters, iters=3, seed=seed)
     k, dim = centroids.shape
@@ -234,6 +245,12 @@ def build_ivf_index(
     wrong' #5; distributed fit: VERDICT r2 'Next round' #8)."""
     os.makedirs(index_dir, exist_ok=True)
     sample_ds = _unit_sample(ds, vec_col, id_col, sample_size)
+    if sample_ds.count() == 0:
+        # unlucky hash sample on a tiny input: take every row instead
+        n = ds.count()
+        if n == 0:
+            raise ValueError("build_ivf_index: input dataset is empty")
+        sample_ds = _unit_sample(ds, vec_col, id_col, max(1, n))
     centroids = _kmeans_fit_distributed(sample_ds, n_clusters, seed=seed)
     np.save(os.path.join(index_dir, "centroids.npy"), centroids)
     cent_ref = ray.put(centroids)
@@ -258,13 +275,35 @@ def build_ivf_index(
             }
         )
 
+    cells_root = os.path.join(index_dir, "cells")
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(
-        os.path.join(index_dir, "cells"), partition_cols=["cell"]
+        cells_root, partition_cols=["cell"]
     )
+    # cell manifest (VERDICT r3 #9): per-cell file list + rows + bytes,
+    # recorded once at build time so ivf_query never walks the directory
+    # tree — at 10^6 cell files a recursive glob is O(files) driver-side
+    # metadata traffic on EVERY query
+    cell_files: dict[str, list[dict]] = {}
+    for entry in sorted(os.listdir(cells_root)):
+        if not entry.startswith("cell="):
+            continue
+        cid = entry.split("=", 1)[1]
+        files = []
+        cdir = os.path.join(cells_root, entry)
+        for fname in sorted(os.listdir(cdir)):
+            if fname.endswith(".parquet"):
+                full = os.path.join(cdir, fname)
+                files.append({
+                    "file": os.path.join(entry, fname),
+                    "rows": pq.ParquetFile(full).metadata.num_rows,
+                    "bytes": os.path.getsize(full),
+                })
+        cell_files[cid] = files
     meta = {
         "n_clusters": int(centroids.shape[0]),
         "dim": int(centroids.shape[1]),
         "id_col": id_col,
+        "cell_files": cell_files,
     }
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
@@ -294,25 +333,44 @@ def ivf_query(
     probe = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
     cells = sorted({int(c) for row in probe for c in row})
     cells_root = os.path.join(index_dir, "cells")
-    paths = [
-        p for c in cells
-        if os.path.isdir(p := os.path.join(cells_root, f"cell={c}"))
-    ]
-    all_files = glob.glob(os.path.join(cells_root, "**", "*.parquet"),
-                          recursive=True)
-    read_files = [
-        f for p in paths
-        for f in glob.glob(os.path.join(p, "*.parquet"))
-    ]
+    cell_files = meta.get("cell_files")
+    if cell_files is not None:
+        # manifest path (VERDICT r3 #9): open only manifest-listed files;
+        # no directory walk, stats straight from build-time metadata
+        read_files = [
+            os.path.join(cells_root, f["file"])
+            for c in cells
+            for f in cell_files.get(str(c), ())
+        ]
+        files_total = sum(len(v) for v in cell_files.values())
+        bytes_read = sum(
+            f["bytes"] for c in cells for f in cell_files.get(str(c), ()))
+        bytes_total = sum(
+            f["bytes"] for v in cell_files.values() for f in v)
+    else:
+        # legacy index without a manifest: fall back to the glob walk
+        paths = [
+            p for c in cells
+            if os.path.isdir(p := os.path.join(cells_root, f"cell={c}"))
+        ]
+        all_files = glob.glob(os.path.join(cells_root, "**", "*.parquet"),
+                              recursive=True)
+        read_files = [
+            f for p in paths
+            for f in glob.glob(os.path.join(p, "*.parquet"))
+        ]
+        files_total = len(all_files)
+        bytes_read = sum(os.path.getsize(f) for f in read_files)
+        bytes_total = sum(os.path.getsize(f) for f in all_files)
     LAST_IVF_QUERY_STATS.clear()
     LAST_IVF_QUERY_STATS.update(
         {
             "cells_probed": len(cells),
             "cells_total": meta["n_clusters"],
             "files_read": len(read_files),
-            "files_total": len(all_files),
-            "bytes_read": sum(os.path.getsize(f) for f in read_files),
-            "bytes_total": sum(os.path.getsize(f) for f in all_files),
+            "files_total": files_total,
+            "bytes_read": bytes_read,
+            "bytes_total": bytes_total,
         }
     )
     if not read_files:

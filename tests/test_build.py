@@ -41,6 +41,34 @@ class TestDocIds:
         )
         assert list(a["doc_id"]) == list(b["doc_id"])
 
+    def test_boundary_sample_independent_of_rows(self, ray_session):
+        """VERDICT r3 #3: the driver-side boundary sample is O(buckets),
+        not O(corpus) — the same bucket config yields the same bounded
+        sample size at 10x the rows."""
+        import pyarrow as pa
+        import ray.data
+
+        from searchengine_ray.ids import DEFAULT_KEY, boundary_sample
+
+        def make(n):
+            tbl = pa.table(
+                {
+                    "repo": pa.array([f"r{i % 13}" for i in range(n)]),
+                    "path": pa.array([f"f{i:06d}" for i in range(n)]),
+                    "commit": pa.array(["c"] * n),
+                }
+            )
+            return ray.data.from_arrow(tbl).repartition(8)
+
+        buckets, per_bucket = 8, 16
+        small = boundary_sample(make(5_000), DEFAULT_KEY, buckets, per_bucket)
+        big = boundary_sample(make(50_000), DEFAULT_KEY, buckets, per_bucket)
+        cap = buckets * per_bucket + 2 * 8  # target + a couple per block
+        assert len(small) <= cap
+        assert len(big) <= cap
+        # and the sample is a sorted key list usable for boundaries
+        assert big == sorted(big)
+
     def test_200k_rows_vectorized(self, ray_session):
         """VERDICT r1 #7 'done' criterion: dense key-ordered ids at 200k
         rows through the vectorized key/bucket path."""
@@ -91,6 +119,59 @@ class TestBuildArtifacts:
         assert len(stats) == len(rows)
         for rec in stats:
             assert rec["sha256"] == want[rec["doc_id"]]
+
+    def test_heavy_tree_reduce_matches_driver_sum(
+        self, built_index, monkeypatch
+    ):
+        """VERDICT r3 #8: above the vocab threshold, heavy-hitter
+        detection tree-reduces in remote tasks and the driver receives
+        only the heavy set — and the result is identical to the
+        driver-sum path."""
+        import searchengine_ray.build as b
+
+        index_dir, _ = built_index
+        docterms = os.path.join(index_dir, "docterms")
+        cfg = b.IndexBuildConfig(heavy_df_threshold=50)
+        driver_path = b.detect_heavy_terms(docterms, cfg)
+        monkeypatch.setattr(b, "HEAVY_TREE_ROWS", 0)  # force the tree
+        tree_path = b.detect_heavy_terms(docterms, cfg)
+        assert driver_path == tree_path
+        assert tree_path  # threshold=50 over 300 docs salts something
+
+    def test_heavy_tree_root_filters_synthetic_million_vocab(
+        self, ray_session
+    ):
+        """The tree root returns O(heavy) rows from a 10^6-term vocab
+        split across partials: the driver never sees the vocabulary."""
+        import ray
+
+        import searchengine_ray.build as b
+
+        n_terms, n_parts = 1_000_000, 8
+        heavy_terms = {f"hh_{i}": 5_000 + i for i in range(20)}
+        parts = []
+        for p in range(n_parts):
+            terms = [f"t{p}_{i:06d}" for i in range(n_terms // n_parts)]
+            ns = np.ones(len(terms), dtype=np.int64)
+            # every partial also carries a share of each heavy term
+            terms += list(heavy_terms)
+            ns = np.concatenate(
+                [ns, np.array([v // n_parts + 1 for v in
+                               heavy_terms.values()], dtype=np.int64)])
+            parts.append(ray.put(pa.table(
+                {"term": pa.array(terms), "n": pa.array(ns)})))
+        refs = parts
+        while len(refs) > 1:
+            refs = [
+                b._merge_counts.remote(*refs[i:i + b._HEAVY_TREE_FANIN])
+                for i in range(0, len(refs), b._HEAVY_TREE_FANIN)
+            ]
+        root = ray.get(b._filter_heavy.remote(refs[0], 4_000))
+        got = dict(zip(root.column("term").to_pylist(),
+                       root.column("n").to_pylist()))
+        want = {t: (v // n_parts + 1) * n_parts
+                for t, v in heavy_terms.items()}
+        assert got == want  # exactly the heavy set, nothing else
 
     def test_heavy_terms_were_salted(self, built_index, engine):
         _, manifest = built_index

@@ -5,6 +5,8 @@ Covers: Boolean AND/OR/NOT/phrase (J1-J4), ranked tf-idf + BM25 (§2.6),
 WAND-vs-exact rank identity, df/vocabulary/doc-stats parity.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -178,6 +180,64 @@ class TestDocStatsSidecars:
         r3 = DiskIndexReader(index_dir)
         assert open(os.path.join(cache, "_FINGERPRINT")).read() != "stale"
         assert r3.get_document_length(7) == r1.get_document_length(7)
+
+    def test_readonly_dir_falls_back_to_memory(self, built_index,
+                                                monkeypatch, oracle):
+        """ADVICE r3: a reader on a read-only index dir (ro-mounted
+        shared artifact) must serve from in-memory stats instead of
+        crashing in the sidecar build."""
+        import shutil
+
+        from searchengine_ray.query.reader import DiskIndexReader
+
+        index_dir, _ = built_index
+        shutil.rmtree(os.path.join(index_dir, "docstats_cache"),
+                      ignore_errors=True)
+        monkeypatch.setattr(
+            DiskIndexReader, "_build_sidecars",
+            lambda self, *a, **k: (_ for _ in ()).throw(
+                OSError("read-only file system")),
+        )
+        r = DiskIndexReader(index_dir)
+        for d in range(0, oracle.num_docs, 53):
+            assert r.get_document_length(d) == oracle.doc_length[d]
+
+    def test_segment_format_mismatch_raises(self, built_index, tmp_path):
+        """ADVICE r3: an index written by a pre-v3 layout fails with a
+        clear 'rebuild required' error, not a missing-column crash."""
+        import json
+        import shutil
+
+        import pytest as _pytest
+
+        from searchengine_ray.query.reader import DiskIndexReader
+
+        index_dir, _ = built_index
+        clone = str(tmp_path / "oldfmt")
+        shutil.copytree(index_dir, clone)
+        mpath = os.path.join(clone, "manifest.json")
+        with open(mpath) as f:
+            m = json.load(f)
+        m.pop("segment_format", None)
+        with open(mpath, "w") as f:
+            json.dump(m, f)
+        with _pytest.raises(ValueError, match="rebuild"):
+            DiskIndexReader(clone)
+
+    def test_get_titles_more_than_cache_capacity(self, built_index):
+        """ADVICE r3: one call requesting more distinct ids than the
+        title-LRU capacity must not KeyError (eviction used to run
+        before the return lookup), and absent ids get a placeholder."""
+        from searchengine_ray.query.reader import DiskIndexReader
+
+        index_dir, _ = built_index
+        r = DiskIndexReader(index_dir, cache_size=4)  # capacity 16 titles
+        ids = list(range(100))
+        titles = r.get_titles(ids)
+        assert len(titles) == 100
+        assert all(t for t in titles)
+        # an id beyond the corpus resolves to a placeholder, not a crash
+        assert r.get_titles([10**9]) == [f"<doc {10**9}>"]
 
     def test_lazy_titles_batch(self, engine):
         """get_titles point-reads must agree with a direct scan of the
