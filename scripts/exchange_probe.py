@@ -55,8 +55,6 @@ def main() -> None:
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     buckets = int(sys.argv[4]) if len(sys.argv) > 4 else 64
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
     import ray
 
     if not ray.is_initialized():
@@ -64,14 +62,13 @@ def main() -> None:
                  include_dashboard=False, object_store_memory=24 << 30)
 
     from searchengine_ray.build import (
-        IndexBuildConfig, build_segments_exchange, detect_heavy_terms,
+        IndexBuildConfig, build_segments_exchange, corpus_scalars,
+        detect_heavy_terms,
     )
 
     cfg = IndexBuildConfig(num_buckets=buckets)
-    dl_tbl = pq.read_table(docterms_dir, columns=["doc_length"])
-    n_docs = dl_tbl.num_rows
-    avgdl = (int(pa.compute.sum(dl_tbl.column("doc_length")).as_py() or 0)
-             / max(1, n_docs))
+    n_docs, tot = corpus_scalars(docterms_dir)
+    avgdl = tot / max(1, n_docs)
     heavy = detect_heavy_terms(docterms_dir, cfg)
 
     prof_dir = os.environ.get("SE_RAY_PROF")

@@ -93,6 +93,10 @@ class IndexBuildConfig:
     # bandwidth-contention cap measured in BASELINE.md §3), 1 otherwise.
     # Env SE_RAY_EXCHANGE_CPUS overrides for A/B runs.
     exchange_task_cpus: int | None = None
+    # Streaming reduce: reducers launch with the maps and unpack each
+    # map output as it lands (ray.wait), overlapping IPC decode with the
+    # map tail.  Env SE_RAY_EXCHANGE_STREAMING=0/1 overrides for A/Bs.
+    exchange_streaming: bool = False
 
     def to_json(self) -> dict:
         d = asdict(self)
@@ -550,26 +554,19 @@ def _reducer_of(gkey: int, num_reducers: int) -> int:
     return (((gkey * 0x9E3779B97F4A7C15) % (1 << 64)) >> 17) % num_reducers
 
 
-@ray.remote
-def _reduce_runs(
-    cfg: IndexBuildConfig,
-    avgdl: float,
-    out_path: str,
-    *blob_lists: list[bytes],
-):
-    """Reduce side: merge this partition's runs per gkey and write one
-    segment parquet idempotently (tmp + atomic rename).
+def _unpack_blob_lists(
+    by_gkey: dict[int, dict],
+    blob_lists,
+    prof: dict,
+) -> None:
+    """Decode a batch of map-output blob lists into the per-gkey
+    accumulator (shared by the barrier and streaming reduce paths).
 
     Blob layout: gkey (8B) + runs-IPC length (8B) + runs IPC stream
     (term, n) + rows IPC stream (doc_local, dl, tftd, pos_blob).  Terms
     are interned into a per-reducer dictionary; per-row term ids come
     from np.repeat over run lengths — no per-row strings anywhere."""
-    _pin_arrow_threads()
-    prof = {"unpack": 0.0, "merge": 0.0, "write": 0.0, "bytes_in": 0,
-            "t0": time.time()}
     _pt = time.perf_counter()
-    inner = _merge_group_factory(cfg, avgdl)
-    by_gkey: dict[int, dict] = {}
     for lst in blob_lists:
         for b in lst:
             prof["bytes_in"] += len(b)
@@ -603,9 +600,21 @@ def _reduce_runs(
                 _as_array(rows.column("tftd")).to_numpy(zero_copy_only=False)
             )
             acc["pos"].append(_as_array(rows.column("pos_blob")))
-    prof["unpack"] = time.perf_counter() - _pt
+    prof["unpack"] = prof.get("unpack", 0.0) + (time.perf_counter() - _pt)
+
+
+def _finalize_segment(
+    by_gkey: dict[int, dict],
+    cfg: IndexBuildConfig,
+    avgdl: float,
+    out_path: str,
+    prof: dict,
+):
+    """Merge the accumulated runs per gkey and write one segment parquet
+    idempotently (tmp + atomic rename)."""
     if not by_gkey:
         return None
+    inner = _merge_group_factory(cfg, avgdl)
     _pt = time.perf_counter()
     parts = []
     for gkey, acc in sorted(by_gkey.items()):
@@ -671,6 +680,51 @@ def _reduce_runs(
     }
 
 
+@ray.remote
+def _reduce_runs(
+    cfg: IndexBuildConfig,
+    avgdl: float,
+    out_path: str,
+    *blob_lists: list[bytes],
+):
+    """Barrier reduce: all of this partition's map outputs arrive as
+    resolved args (Ray schedules the task only once every map is done),
+    then unpack + merge + write."""
+    _pin_arrow_threads()
+    prof = {"merge": 0.0, "write": 0.0, "bytes_in": 0, "t0": time.time()}
+    by_gkey: dict[int, dict] = {}
+    _unpack_blob_lists(by_gkey, blob_lists, prof)
+    return _finalize_segment(by_gkey, cfg, avgdl, out_path, prof)
+
+
+@ray.remote
+def _reduce_runs_streaming(
+    cfg: IndexBuildConfig,
+    avgdl: float,
+    out_path: str,
+    blob_refs: list,
+):
+    """Streaming reduce (the r3-verdict prefetch-overlap lever): the
+    partition's map outputs arrive as a list of UNRESOLVED ObjectRefs
+    (refs nested in a list are not awaited by Ray), so this task starts
+    alongside the maps, ``ray.wait``s for outputs as they land, and
+    unpacks each one immediately — the IPC-decode/intern phase overlaps
+    the map tail instead of serialising after it.  While blocked in
+    ``ray.wait`` the worker releases its CPU slots, so idle streaming
+    reducers do not starve the map wave.  The merge+write still needs
+    every input, so only unpack moves off the critical path."""
+    _pin_arrow_threads()
+    prof = {"merge": 0.0, "write": 0.0, "bytes_in": 0, "t0": time.time(),
+            "streamed_batches": 0}
+    by_gkey: dict[int, dict] = {}
+    pending = list(blob_refs)
+    while pending:
+        done, pending = ray.wait(pending, num_returns=1)
+        _unpack_blob_lists(by_gkey, ray.get(done), prof)
+        prof["streamed_batches"] += 1
+    return _finalize_segment(by_gkey, cfg, avgdl, out_path, prof)
+
+
 def build_segments_exchange(
     docterms_dir: str,
     segments_dir: str,
@@ -713,14 +767,32 @@ def build_segments_exchange(
     ]
     if num_reducers == 1:
         map_refs = [[r] for r in map_refs]
-    reduce_refs = [
-        _reduce_runs.options(num_cpus=task_cpus).remote(
-            cfg, avgdl,
-            os.path.join(segments_dir, f"segment_{r:05d}.parquet"),
-            *[m[r] for m in map_refs],
-        )
-        for r in range(num_reducers)
-    ]
+    env_streaming = os.environ.get("SE_RAY_EXCHANGE_STREAMING")
+    if env_streaming is not None:
+        streaming = env_streaming not in ("", "0")
+    else:
+        streaming = cfg.exchange_streaming
+    if streaming:
+        # prefetch overlap: reducers launch alongside the maps and
+        # unpack outputs as they land (refs nested in a list are not
+        # awaited by Ray — the reducer ray.waits on them itself)
+        reduce_refs = [
+            _reduce_runs_streaming.options(num_cpus=task_cpus).remote(
+                cfg, avgdl,
+                os.path.join(segments_dir, f"segment_{r:05d}.parquet"),
+                [m[r] for m in map_refs],
+            )
+            for r in range(num_reducers)
+        ]
+    else:
+        reduce_refs = [
+            _reduce_runs.options(num_cpus=task_cpus).remote(
+                cfg, avgdl,
+                os.path.join(segments_dir, f"segment_{r:05d}.parquet"),
+                *[m[r] for m in map_refs],
+            )
+            for r in range(num_reducers)
+        ]
     return [m for m in ray.get(reduce_refs) if m]
 
 

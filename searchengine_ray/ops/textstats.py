@@ -6,6 +6,7 @@ per-actor-compiled) ``map_batches`` stages over the ``documents`` table.
 from __future__ import annotations
 
 import hashlib
+import os
 import re
 
 import numpy as np
@@ -148,10 +149,50 @@ def _cjk_counts(t: str) -> tuple[int, int, int]:
     return kana, hangul, han
 
 
-def detect_langs(texts: list[str]) -> tuple[list[str], list[float]]:
+_LANGID_BACKEND_ENV = "SE_RAY_LANGID_BACKEND"
+
+
+def _langdetect_langs(texts: list[str]) -> tuple[list[str], list[float]]:
+    """Optional `langdetect` backend (VERDICT r3 #10): the published
+    port of Google's language-detection library, used drop-in when the
+    package is installed (it is NOT in this container — the heuristic
+    backend stays the default and the SQL-oracled path)."""
+    try:
+        import langdetect
+    except ImportError as e:
+        raise ImportError(
+            "language-ID backend 'langdetect' requires the langdetect "
+            "package (not installed in this environment); use the "
+            "default 'heuristic' backend or install langdetect"
+        ) from e
+    langdetect.DetectorFactory.seed = 0  # deterministic across workers
+    out_lang, out_conf = [], []
+    for t in texts:
+        try:
+            best = langdetect.detect_langs(t)[0]
+            out_lang.append(str(best.lang))
+            out_conf.append(float(best.prob))
+        except langdetect.lang_detect_exception.LangDetectException:
+            out_lang.append("und")
+            out_conf.append(0.0)
+    return out_lang, out_conf
+
+
+def detect_langs(
+    texts: list[str], backend: str | None = None
+) -> tuple[list[str], list[float]]:
     """Language ID (shared helper): CJK scripts first via codepoint-range
     ratios (see _CJK_THRESHOLD block comment), then argmax over
-    per-language stopword hit ratios; 'und' when nothing matches."""
+    per-language stopword hit ratios; 'und' when nothing matches.
+
+    ``backend`` (default env SE_RAY_LANGID_BACKEND, else 'heuristic')
+    selects 'heuristic' (this module, SQL-oracled) or 'langdetect'
+    (feature-flagged adapter; raises ImportError when absent)."""
+    backend = backend or os.environ.get(_LANGID_BACKEND_ENV, "heuristic")
+    if backend == "langdetect":
+        return _langdetect_langs(texts)
+    if backend != "heuristic":
+        raise ValueError(f"unknown language-ID backend {backend!r}")
     langs = sorted(_LANG_PROFILES)
     out_lang, out_conf = [], []
     for t in texts:
@@ -189,11 +230,15 @@ def detect_langs(texts: list[str]) -> tuple[list[str], list[float]]:
 
 
 def detect_language(ds: ray.data.Dataset, text_col: str = "text",
-                    id_col: str = "doc_id") -> ray.data.Dataset:
-    """Language-ID table; see ``detect_langs``."""
+                    id_col: str = "doc_id",
+                    backend: str | None = None) -> ray.data.Dataset:
+    """Language-ID table; see ``detect_langs``.  ``backend`` is resolved
+    inside the task (workers inherit the env var) so a driver-side env
+    set also reaches actor-pool workers."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        out_lang, out_conf = detect_langs(batch.column(text_col).to_pylist())
+        out_lang, out_conf = detect_langs(
+            batch.column(text_col).to_pylist(), backend=backend)
         return pa.table(
             {
                 id_col: batch.column(id_col),

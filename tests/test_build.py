@@ -190,6 +190,52 @@ class TestBuildArtifacts:
             assert os.path.exists(os.path.join(index_dir, "segments", seg["file"]))
             assert seg["rows"] > 0
 
+    def test_streaming_exchange_segment_parity(
+        self, ray_session, small_corpus, built_index, tmp_path,
+        monkeypatch,
+    ):
+        """VERDICT r3 #2 lever: the streaming reduce path (reducers
+        launched with the maps, ray.wait-fed unpack) must produce
+        byte-identical segments to the barrier path regardless of the
+        order map outputs land in."""
+        import hashlib
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        import ray.data
+
+        from searchengine_ray.build import IndexBuildConfig, build_index
+
+        index_dir, _ = built_index
+        monkeypatch.setenv("SE_RAY_EXCHANGE_STREAMING", "1")
+        stream_dir = str(tmp_path / "streamed")
+        cfg = IndexBuildConfig(
+            num_buckets=4,
+            tokenize_concurrency=(1, 2),
+            skip_block=8,
+            heavy_df_threshold=50,
+            docs_per_shard=128,
+        )
+        ds = ray.data.from_arrow(small_corpus).repartition(4)
+        build_index(ds, stream_dir, cfg, input_description="test300")
+
+        def seg_hash(d):
+            segs = sorted(
+                f for f in os.listdir(os.path.join(d, "segments"))
+                if f.endswith(".parquet")
+            )
+            h = hashlib.sha256()
+            for s in segs:
+                t = pq.read_table(os.path.join(d, "segments", s))
+                t = t.take(pc.sort_indices(t, sort_keys=[
+                    ("term", "ascending"), ("shard", "ascending"),
+                    ("bucket", "ascending"), ("salt", "ascending")]))
+                for col in sorted(t.column_names):
+                    h.update(str(t.column(col).to_pylist()).encode())
+            return len(segs), h.hexdigest()
+
+        assert seg_hash(stream_dir) == seg_hash(index_dir)
+
 
 class TestResume:
     def test_rerun_skips_completed_stages(

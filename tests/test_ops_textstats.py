@@ -201,3 +201,64 @@ class TestLanguageIdRealText:
         for i, (doc_id, sql_lang, sql_conf) in enumerate(rows):
             assert sql_lang == py_langs[i], (i, texts[i], sql_lang, py_langs[i])
             assert abs(float(sql_conf) - round(py_confs[i], 6)) < 1e-9
+
+
+class TestLangIdBackends:
+    """Feature-flagged langdetect adapter (VERDICT r3 #10): the package
+    is absent in this container, so the tests cover the flag plumbing —
+    missing-package error, fake-module dispatch, heuristic default."""
+
+    def test_absent_backend_raises_clear_importerror(self):
+        import pytest as _pytest
+
+        from searchengine_ray.ops.textstats import detect_langs
+
+        with _pytest.raises(ImportError, match="langdetect"):
+            detect_langs(["hello world"], backend="langdetect")
+
+    def test_unknown_backend_rejected(self):
+        import pytest as _pytest
+
+        from searchengine_ray.ops.textstats import detect_langs
+
+        with _pytest.raises(ValueError, match="unknown"):
+            detect_langs(["x"], backend="nope")
+
+    def test_env_default_is_heuristic(self, monkeypatch):
+        from searchengine_ray.ops.textstats import detect_langs
+
+        monkeypatch.delenv("SE_RAY_LANGID_BACKEND", raising=False)
+        langs, _ = detect_langs(["the cat sat on the mat and it was good"])
+        assert langs == ["en"]
+
+    def test_fake_langdetect_module_dispatch(self, monkeypatch):
+        """A stub langdetect in sys.modules is picked up by both the
+        explicit arg and the env var (the adapter's real seam)."""
+        import sys
+        import types
+
+        from searchengine_ray.ops import textstats
+
+        class _Best:
+            lang, prob = "xx", 0.75
+
+        class _Exc(Exception):
+            pass
+
+        fake = types.ModuleType("langdetect")
+        fake.DetectorFactory = types.SimpleNamespace(seed=None)
+        fake.detect_langs = lambda t: ([_Best()] if t.strip() else
+                                       (_ for _ in ()).throw(_Exc()))
+        fake.lang_detect_exception = types.SimpleNamespace(
+            LangDetectException=_Exc)
+        monkeypatch.setitem(sys.modules, "langdetect", fake)
+
+        langs, confs = textstats.detect_langs(
+            ["hola", ""], backend="langdetect")
+        assert langs == ["xx", "und"]
+        assert confs == [0.75, 0.0]
+        assert fake.DetectorFactory.seed == 0  # pinned for determinism
+
+        monkeypatch.setenv("SE_RAY_LANGID_BACKEND", "langdetect")
+        langs2, _ = textstats.detect_langs(["hola"])
+        assert langs2 == ["xx"]

@@ -124,3 +124,67 @@ def test_spanish_index_build_and_query(ray_session, tmp_path):
     assert sorted(eng.boolean_query("gatos").tolist()) == [0, 2]
     assert sorted(eng.boolean_query("gatos corriendo").tolist()) == [0, 2]
     assert sorted(eng.boolean_query("biología").tolist()) == [3]
+
+
+class TestSpanishBackends:
+    """Feature-flagged spaCy lemmatizer adapter (VERDICT r3 #10): spaCy
+    is absent here, so cover the flag plumbing and the fake-module seam."""
+
+    def test_absent_spacy_raises_clear_importerror(self, monkeypatch):
+        import pytest as _pytest
+
+        import searchengine_ray.spanish as sp
+
+        monkeypatch.setattr(sp, "_spacy_lemma", None)
+        with _pytest.raises(ImportError, match="spacy"):
+            sp.analyze_document_spanish("los gatos", backend="spacy")
+
+    def test_unknown_backend_rejected(self):
+        import pytest as _pytest
+
+        import searchengine_ray.spanish as sp
+
+        with _pytest.raises(ValueError, match="unknown"):
+            sp.analyze_document_spanish("hola", backend="nope")
+
+    def test_fake_spacy_module_lemmas(self, monkeypatch):
+        """A stub spacy in sys.modules drives _normalize through lemmas
+        (memoized per worker), selected by arg or env."""
+        import sys
+        import types
+
+        import searchengine_ray.spanish as sp
+
+        calls = []
+
+        class _Tok:
+            def __init__(self, text):
+                self.lemma_ = {"gatos": "gato", "corren": "correr"}.get(
+                    text, text)
+
+        def _load(name, disable=()):
+            assert name == "es_core_news_sm"
+
+            def nlp(text):
+                calls.append(text)
+                return [_Tok(text)]
+
+            return nlp
+
+        fake = types.ModuleType("spacy")
+        fake.load = _load
+        monkeypatch.setitem(sys.modules, "spacy", fake)
+        monkeypatch.setattr(sp, "_spacy_lemma", None)
+
+        terms, n = sp.analyze_document_spanish(
+            "los gatos corren y los gatos", backend="spacy")
+        assert n == 6
+        assert set(terms) == {"los", "gato", "correr", "y"}
+        assert terms["gato"] == [2, 6]
+        # memoized: 'los' and 'gatos' hit the pipeline once each
+        assert sorted(calls) == sorted(["los", "gatos", "corren", "y"])
+
+        monkeypatch.setattr(sp, "_spacy_lemma", None)
+        monkeypatch.setenv("SE_RAY_SPANISH_BACKEND", "spacy")
+        terms2, _ = sp.analyze_document_spanish("gatos")
+        assert set(terms2) == {"gato"}
