@@ -332,3 +332,20 @@ class TestTfStreamPaths:
         assert [d_ for d_, _ in exact] == [d_ for d_, _ in wand]
         for (_, es), (_, ws) in zip(exact, wand):
             assert abs(es - ws) < 1e-9
+
+
+class TestCorpusScalars:
+    def test_matches_manifest(self, built_index):
+        """corpus_scalars (the distributed replacement for the driver
+        column read, VERDICT r3 #4) reproduces the manifest scalars."""
+        from searchengine_ray.build import corpus_scalars
+
+        index_dir, manifest = built_index
+        n, tot = corpus_scalars(os.path.join(index_dir, "docterms"))
+        assert n == manifest["num_docs"]
+        assert tot == manifest["total_tokens"]
+
+    def test_empty_dir(self, ray_session, tmp_path):
+        from searchengine_ray.build import corpus_scalars
+
+        assert corpus_scalars(str(tmp_path)) == (0, 0)
