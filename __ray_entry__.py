@@ -116,6 +116,19 @@ def q_doc_lengths(sf_dir: str) -> pa.Table:
     )
 
 
+def q_content_integrity(sf_dir: str) -> pa.Table:
+    """North-rule per-row invariant, driver-checked: the index's stored
+    (doc_id, sha256(content)) rows folded into an order-independent
+    multiset checksum (count, sum mod 2^60, xor over 60-bit words, each
+    word mixed with its doc_id).  The oracle recomputes the identical
+    checksum from the SOURCE documents table with DuckDB's sha256() —
+    hash-green means every stored digest matches its source row AND is
+    bound to the right doc_id.  No join/shuffle on either side."""
+    from searchengine_ray.verify import index_checksum60
+
+    return index_checksum60(_build_ws_index(sf_dir))
+
+
 def q_bm25_topk(sf_dir: str) -> pa.Table:
     """BM25 (k1=1.2, b=0.75) top-20 over the whitespace index (§2.6)."""
     eng = _engine_for(sf_dir)
@@ -624,6 +637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "index_term_stats": q_index_term_stats,
         "doc_lengths": q_doc_lengths,
+        "content_integrity": q_content_integrity,
         "bm25_topk": q_bm25_topk,
         "boolean_and": q_boolean_and,
         "boolean_and_not": q_boolean_and_not,
@@ -731,6 +745,33 @@ def oracle_sql() -> dict[str, str]:
             dl AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id)
             SELECT d.doc_id, coalesce(dl.n, 0) AS doc_length
             FROM documents d LEFT JOIN dl USING (doc_id) ORDER BY doc_id
+        """,
+        # 60-bit multiset checksum over (doc_id, sha256(text)): the mixer
+        # mirrors verify.mix60 step for step (HUGEINT multiply mod 2^60,
+        # xor with the >>30 halves); w is the big-endian 15-hex-char
+        # digest prefix.  Hash-green == the index preserved every row's
+        # content AND its doc_id binding.
+        "content_integrity": """
+            WITH base AS (
+              SELECT CAST(concat('0x', substr(sha256(text), 1, 15))
+                          AS BIGINT) AS w,
+                     CAST((CAST(doc_id AS HUGEINT) * 2654435761)
+                          % 1152921504606846976 AS BIGINT) AS a
+              FROM documents
+            ), m1 AS (
+              SELECT w, xor(a, a // 1073741824) AS b FROM base
+            ), m2 AS (
+              SELECT w, CAST((CAST(b AS HUGEINT) * 2246822519)
+                             % 1152921504606846976 AS BIGINT) AS c
+              FROM m1
+            ), mixed AS (
+              SELECT xor(w, xor(c, c // 1073741824)) AS v FROM m2
+            )
+            SELECT count(*) AS n_docs,
+                   CAST(sum(CAST(v AS HUGEINT))
+                        % 1152921504606846976 AS BIGINT) AS sum60,
+                   bit_xor(v) AS xor60
+            FROM mixed
         """,
         "bm25_topk": f"""
             WITH {_TOK},

@@ -327,17 +327,22 @@ def light_probe(mb: int = 16, iters: int = 3) -> float:
 
 
 class _DuringSampler:
-    """Daemon thread sampling light_probe while a leg runs."""
+    """Daemon thread sampling light_probe while a leg runs.
 
-    def __init__(self):
+    ``period_s`` defaults to the scaling-leg cadence (25 s — legs run
+    3-8 min); short default-bench reps (~7 s) pass a small period so the
+    rep gets at least a couple of in-window samples."""
+
+    def __init__(self, period_s: float | None = None):
         import threading
 
+        self.period_s = QUIET_DURING_PERIOD_S if period_s is None else period_s
         self.samples: list[float] = []
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
 
     def _run(self) -> None:
-        while not self._stop.wait(QUIET_DURING_PERIOD_S):
+        while not self._stop.wait(self.period_s):
             self.samples.append(light_probe())
 
     def __enter__(self):
@@ -365,6 +370,26 @@ class _DuringSampler:
             s[i] < QUIET_DURING_GBPS and s[i + 1] < QUIET_DURING_GBPS
             for i in range(len(s) - 1)
         )
+
+
+def _post_probe(attempts: int = 4, wait_s: float = 10.0) -> float:
+    """Post-rep probe: best of a few tries over ~40 s.
+
+    Probing 1 s after a rep measures the bench's own falling edge — Ray
+    executor threads draining, object-store refs releasing, page-cache
+    writeback of the index the rep just wrote — not the co-tenant
+    weather this gate exists for (measured: post 1.3-1.9 GB/s for 12+ s
+    after a rep whose NEXT pre-probe read 8-13 GB/s twenty-to-forty
+    seconds later; the decay scale is ~30 s).  A real storm lasts
+    minutes, so every retry would stay low; taking the max over the
+    retry window only forgives our own teardown."""
+    best = 0.0
+    for i in range(attempts):
+        best = max(best, bw_probe())
+        if best >= QUIET_GBPS or i == attempts - 1:
+            break
+        time.sleep(wait_s)
+    return best
 
 
 def _await_quiet_window() -> tuple[float, bool]:
@@ -436,7 +461,7 @@ def run_scaling() -> dict:
                         f"scaling run n={n} docs={n_docs} produced no JSON:\n"
                         f"{proc.stdout}\n{proc.stderr}"
                     )
-                post_g = bw_probe()
+                post_g = _post_probe()
                 r = json.loads(line[-1])
                 r["pre_gbps"] = pre_g
                 r["post_gbps"] = post_g
@@ -518,16 +543,22 @@ def run_default() -> dict:
     best: dict | None = None
     for i in range(max(1, BENCH_REPS)):
         pre_g, pre_ok = _await_quiet_window()
-        with _DuringSampler() as sampler:
+        # reps are ~5-10 s: sample INSIDE the window at a short period so
+        # the rep carries its own evidence.  The post probe is recorded
+        # but does not gate — it measures the bus up to ~40 s AFTER the
+        # rep ended (bench teardown + whatever weather arrives next), and
+        # on oscillating-weather days it disqualified reps whose entire
+        # measurement window was provably quiet (pre 13-14 GB/s, no
+        # during dip, post 1.3-1.9 while the NEXT rep's pre gate passed).
+        with _DuringSampler(period_s=2.0) as sampler:
             out = run_single(NUM_CPUS)
         time.sleep(1.0)  # let Ray Data executor threads drain before probing
-        post_g = bw_probe()
+        post_g = _post_probe()
         out["pre_gbps"] = pre_g
         out["post_gbps"] = post_g
         out["during_gbps"] = sampler.samples
         out["during_min_gbps"] = sampler.min_gbps
-        out["window_ok"] = bool(
-            pre_ok and post_g >= QUIET_GBPS and sampler.ok)
+        out["window_ok"] = bool(pre_ok and sampler.ok)
         reps.append({
             "rep": i, "value": out["value"], "pre_gbps": pre_g,
             "post_gbps": post_g, "during_min_gbps": sampler.min_gbps,

@@ -6,6 +6,7 @@ Usage:
   python -m searchengine_ray query  --index DIR "raw query" [--mode bm25|default|bool] [-k 10]
   python -m searchengine_ray spell  --index DIR "misspelled words"
   python -m searchengine_ray vocab  --index DIR [--limit 20]
+  python -m searchengine_ray verify --corpus PATH --index DIR [--no-ids]
 
 Owns its Ray session (guarded init) — library code never calls ray.init.
 """
@@ -80,6 +81,17 @@ def cmd_vocab(args) -> int:
     return 0
 
 
+def cmd_verify(args) -> int:
+    _ensure_ray()
+    from .verify import verify_index_content
+
+    report = verify_index_content(
+        args.corpus, args.index, check_ids=not args.no_ids
+    )
+    print(json.dumps(report))
+    return 0 if report["passed"] else 1
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="searchengine_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -108,6 +120,16 @@ def main(argv=None) -> int:
     v.add_argument("--index", required=True)
     v.add_argument("--limit", type=int, default=20)
     v.set_defaults(fn=cmd_vocab)
+
+    vf = sub.add_parser(
+        "verify",
+        help="check per-row content sha256 equality: index vs source corpus",
+    )
+    vf.add_argument("--corpus", required=True)
+    vf.add_argument("--index", required=True)
+    vf.add_argument("--no-ids", action="store_true",
+                    help="skip the doc_id binding check (content multiset only)")
+    vf.set_defaults(fn=cmd_verify)
 
     args = p.parse_args(argv)
     return args.fn(args)
