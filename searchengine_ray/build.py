@@ -97,6 +97,11 @@ class IndexBuildConfig:
     # map output as it lands (ray.wait), overlapping IPC decode with the
     # map tail.  Env SE_RAY_EXCHANGE_STREAMING=0/1 overrides for A/Bs.
     exchange_streaming: bool = False
+    # Block-compress each (map, reducer) wire object ("lz4"/"zstd"/None):
+    # trades idle CPU for bus bytes — the binding resource on saturated
+    # hosts.  Joined-piece ratio measured 2.8x (lz4).  Env
+    # SE_RAY_EXCHANGE_COMPRESS overrides ("0"/"none" disables).
+    exchange_compress: str | None = None
 
     def to_json(self) -> dict:
         d = asdict(self)
@@ -542,9 +547,59 @@ def _map_runs(
             prof["bytes_out"] += len(blob)
             out[_reducer_of(gkey, num_reducers)].append(blob)
         prof["pack"] += time.perf_counter() - t
+    codec_name = _exchange_codec(cfg)
+    if codec_name:
+        t = time.perf_counter()
+        out = [_frame_compress(blobs, codec_name) for blobs in out]
+        prof["compress"] = time.perf_counter() - t
+        prof["bytes_wire"] = sum(len(o) for o in out)
     prof["t1"] = time.time()
     _prof_write("map", prof)
     return out if num_reducers > 1 else out[0]
+
+
+_EXCHANGE_MAGIC = b"SECX"
+_CODEC_IDS = {"lz4": 1, "zstd": 2}
+_CODEC_BY_ID = {v: k for k, v in _CODEC_IDS.items()}
+
+
+def _exchange_codec(cfg: IndexBuildConfig) -> str | None:
+    env = os.environ.get("SE_RAY_EXCHANGE_COMPRESS")
+    if env is not None:
+        return None if env.lower() in ("", "0", "none") else env.lower()
+    return cfg.exchange_compress
+
+
+def _frame_compress(blobs: list[bytes], codec_name: str) -> bytes:
+    """One wire object per (map, reducer): length-prefixed pieces joined,
+    then block-compressed.  Joining before compressing matters — pieces
+    share term and IPC-schema bytes (measured 2.8x joined vs 1.4x
+    per-piece with lz4), and one big buffer amortises codec call cost."""
+    joined = b"".join(struct.pack("<q", len(b)) + b for b in blobs)
+    comp = pa.Codec(codec_name).compress(joined, asbytes=True)
+    return (_EXCHANGE_MAGIC + bytes([_CODEC_IDS[codec_name]])
+            + struct.pack("<q", len(joined)) + comp)
+
+
+def _iter_wire_blobs(lst):
+    """Yield per-piece buffers from one map-output wire object — either
+    a plain list of piece blobs (uncompressed path) or a compressed
+    frame from :func:`_frame_compress`.  Yields memoryviews; piece
+    parsing is zero-copy off the decompressed buffer."""
+    if isinstance(lst, (bytes, bytearray, memoryview)):
+        mv = memoryview(lst)
+        if bytes(mv[:4]) != _EXCHANGE_MAGIC:
+            raise ValueError("bad exchange wire frame")
+        codec = pa.Codec(_CODEC_BY_ID[mv[4]])
+        (rawlen,) = struct.unpack_from("<q", mv, 5)
+        raw = memoryview(codec.decompress(mv[13:], rawlen))
+        off = 0
+        while off < rawlen:
+            (blen,) = struct.unpack_from("<q", raw, off)
+            yield raw[off + 8: off + 8 + blen]
+            off += 8 + blen
+    else:
+        yield from lst
 
 
 def _reducer_of(gkey: int, num_reducers: int) -> int:
@@ -568,11 +623,13 @@ def _unpack_blob_lists(
     from np.repeat over run lengths — no per-row strings anywhere."""
     _pt = time.perf_counter()
     for lst in blob_lists:
-        for b in lst:
+        for b in _iter_wire_blobs(lst):
             prof["bytes_in"] += len(b)
             gkey, runs_len = struct.unpack_from("<qq", b)
-            runs = pa.ipc.open_stream(b[16:16 + runs_len]).read_all()
-            rows = pa.ipc.open_stream(b[16 + runs_len:]).read_all()
+            runs = pa.ipc.open_stream(
+                pa.py_buffer(b[16:16 + runs_len])).read_all()
+            rows = pa.ipc.open_stream(
+                pa.py_buffer(b[16 + runs_len:])).read_all()
             if rows.num_rows == 0:
                 continue
             acc = by_gkey.setdefault(
