@@ -625,11 +625,15 @@ def _unpack_blob_lists(
     for lst in blob_lists:
         for b in _iter_wire_blobs(lst):
             prof["bytes_in"] += len(b)
-            gkey, runs_len = struct.unpack_from("<qq", b)
+            # memoryview slices are zero-copy (bytes slices would memcpy
+            # every wire byte a second time on the bus-bound reduce path);
+            # Arrow IPC then reads table bodies zero-copy off the views.
+            mv = b if isinstance(b, memoryview) else memoryview(b)
+            gkey, runs_len = struct.unpack_from("<qq", mv)
             runs = pa.ipc.open_stream(
-                pa.py_buffer(b[16:16 + runs_len])).read_all()
+                pa.py_buffer(mv[16:16 + runs_len])).read_all()
             rows = pa.ipc.open_stream(
-                pa.py_buffer(b[16 + runs_len:])).read_all()
+                pa.py_buffer(mv[16 + runs_len:])).read_all()
             if rows.num_rows == 0:
                 continue
             acc = by_gkey.setdefault(
