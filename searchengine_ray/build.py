@@ -418,10 +418,9 @@ _IPC_OPTS = pa.ipc.IpcWriteOptions()
 
 
 def _ipc_bytes(tbl: pa.Table) -> bytes:
-    """Serialize a run table with LZ4 frames: gap-friendly columns compress
-    ~7x, and at shuffle time memory/object-store bandwidth is the binding
-    resource, not CPU (measured: blobs 1.86 GB uncompressed for a 250 MB
-    parquet input)."""
+    """Serialize a run table as an uncompressed IPC stream (see _IPC_OPTS
+    note above; per-frame compression was a measured net loss here — the
+    optional whole-object wire compression lives in _frame_compress)."""
     sink = pa.BufferOutputStream()
     with pa.ipc.new_stream(sink, tbl.schema, options=_IPC_OPTS) as w:
         w.write_table(tbl)
@@ -971,10 +970,15 @@ def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
         # full int64 doc_ids array) with shard*dps + dloc patched in at
         # the sparse run starts.
         shard_base = np.int64(shard) * dps
-        doc_gap = np.empty(n, dtype=np.int64)
+        # int32 gap array when even the absolute run-start ids fit (all
+        # corpora below 2^31 docs): halves the encode path's memory
+        # traffic (diff, length-scan, byte-emit all read this array) on
+        # the bandwidth-bound reduce side; int64 only for the huge tail
+        gap_dt = np.int32 if shard_base + dps < (1 << 31) else np.int64
+        doc_gap = np.empty(n, dtype=gap_dt)
         doc_gap[0] = 0
         np.subtract(dloc[1:], dloc[:-1], out=doc_gap[1:])
-        doc_gap[run_starts] = shard_base + dloc[run_starts]
+        doc_gap[run_starts] = (shard_base + dloc[run_starts]).astype(gap_dt)
 
         # doc-gap and tf streams encoded separately (format v3): the old
         # interleaved 2n-wide uint64 stream build (strided writes + 2n
