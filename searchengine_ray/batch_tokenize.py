@@ -31,6 +31,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from . import vbyte
 from .tokenizer import TokenTermCache
 
 # analyzers this fast path covers; others fall back to the per-doc loop
@@ -115,7 +116,10 @@ def analyze_batch(
 
     Returns dict with per-doc numpy/Arrow columns:
       doc_length int64[n_docs], l_d float64[n_docs],
-      terms list<string>, tftds list<int32>, positions list<list<int32>>.
+      terms list<string>, tftds list<int32>,
+      pos_blob list<binary> (per-term VByte position-gap blob, docterms
+      format v2 — encoded HERE so the embarrassingly-parallel tokenize
+      stage pays the encode and the exchange ships final bytes).
     """
     n_docs = len(contents)
     pieces, piece_doc = _flat_pieces(contents, analyzer)
@@ -131,11 +135,8 @@ def analyze_batch(
                 empty32, pa.array([], type=pa.string())),
             "tftds": pa.ListArray.from_arrays(
                 empty32, pa.array([], type=pa.int32())),
-            "positions": pa.ListArray.from_arrays(
-                empty32,
-                pa.ListArray.from_arrays(
-                    pa.array(np.zeros(1, dtype=np.int32)),
-                    pa.array([], type=pa.int32()))),
+            "pos_blob": pa.ListArray.from_arrays(
+                empty32, pa.array([], type=pa.binary())),
         }
 
     dic = pieces.dictionary_encode()
@@ -174,11 +175,8 @@ def analyze_batch(
                 empty32, pa.array([], type=pa.string())),
             "tftds": pa.ListArray.from_arrays(
                 empty32, pa.array([], type=pa.int32())),
-            "positions": pa.ListArray.from_arrays(
-                empty32,
-                pa.ListArray.from_arrays(
-                    pa.array(np.zeros(1, dtype=np.int32)),
-                    pa.array([], type=pa.int32()))),
+            "pos_blob": pa.ListArray.from_arrays(
+                empty32, pa.array([], type=pa.binary())),
         }
 
     tdic = flat_terms.dictionary_encode()
@@ -250,6 +248,6 @@ def analyze_batch(
         "terms": pa.ListArray.from_arrays(outer_off_arr, terms_vals),
         "tftds": pa.ListArray.from_arrays(
             outer_off_arr, pa.array(k_lens.astype(np.int32))),
-        "positions": pa.ListArray.from_arrays(
-            outer_off_arr, positions_inner),
+        "pos_blob": pa.ListArray.from_arrays(
+            outer_off_arr, vbyte.encode_position_lists(positions_inner)),
     }

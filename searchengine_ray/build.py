@@ -10,12 +10,12 @@ Ray-Data-native rebuild:
   read_parquet(corpus)
     -> assign_doc_ids (one explicit global decision, ids.py)
     -> map_batches(TokenizeDocs actor pool)          # SPIMI block ≙ Ray block
-         emits per-doc rows: doc stats + per-term (tftd, positions)
-    -> write docterms/ (resumable intermediate, columnar)
+         emits per-doc rows: doc stats + per-term (tftd, VByte pos blob)
+    -> write docterms/ (resumable intermediate, columnar, format v2)
   docterms -> doc stats parquet + corpus scalars (pruned-column re-read)
   docterms -> heavy-hitter df detection (per-block partial counts -> tiny
               groupby-sum; the combiner-before-shuffle pattern)
-  docterms -> explode to (term, doc_id, tftd, positions) with keys
+  docterms -> explode to (term, doc_id, tftd, pos_blob) with keys
               shard   = doc_id // docs_per_shard      (bounds posting lists)
               bucket  = crc32(term) % num_buckets     (merge shuffle key)
               salt    = contiguous doc-range split for heavy terms
@@ -80,6 +80,12 @@ class IndexBuildConfig:
     max_salt: int = 64
     skip_block: int = 128
     tokenize_batch_size: int = 64
+    # docterms output block/row-group size: tokenize emits small blocks
+    # (batch_size docs each) and the parquet writer makes one row group
+    # per block — 63-row groups made the exchange maps re-decode the
+    # terms dictionary ~65x more often than needed.  An identity rebatch
+    # before the write coalesces blocks to this many rows.
+    docterms_block_rows: int = 4096
     # None -> fixed pool of one actor per cluster CPU (a fixed-size pool:
     # Ray Data's autoscaling pool ramps from min and starves short stages)
     tokenize_concurrency: tuple | int | None = None
@@ -181,7 +187,7 @@ class TokenizeDocs:
                                        type=pa.string()),
                     "terms": cols["terms"],
                     "tftds": cols["tftds"],
-                    "positions": cols["positions"],
+                    "pos_blob": cols["pos_blob"],
                 }
             )
         return self._call_per_doc(batch, cache)
@@ -223,11 +229,20 @@ class TokenizeDocs:
                 "sha256": pa.array(out_sha, type=pa.string()),
                 "terms": pa.array(out_terms, type=pa.list_(pa.string())),
                 "tftds": pa.array(out_tftds, type=pa.list_(pa.int32())),
-                "positions": pa.array(
-                    out_positions, type=pa.list_(pa.list_(pa.int32()))
-                ),
+                "pos_blob": _encode_positions_nested(out_positions),
             }
         )
+
+
+def _encode_positions_nested(out_positions: list) -> pa.ListArray:
+    """Per-doc python lists of per-term position lists -> list<binary>
+    of VByte gap blobs (docterms format v2); the per-doc fallback path's
+    counterpart of the vectorized encode in batch_tokenize."""
+    from . import vbyte
+
+    nested = pa.array(out_positions, type=pa.list_(pa.list_(pa.int32())))
+    return pa.ListArray.from_arrays(
+        nested.offsets, vbyte.encode_position_lists(nested.flatten()))
 
 
 _BUCKET_CACHES: dict[int, dict] = {}
@@ -238,24 +253,24 @@ def _explode_arrays(
 ) -> dict | None:
     """docterms table -> flat per-(doc, term) arrays for the exchange.
 
-    Positions are VByte-encoded *here*, per row (gaps, first absolute) —
-    the encode-early SPIMI move: the dominant column ships through the
-    shuffle already in its final on-disk byte form (~4x smaller than raw
-    int32 lists), and reducers concatenate blob slices instead of
-    re-encoding millions of position ints.  Term hashing and lexicographic
-    ranks are computed once per *distinct* term via dictionary codes —
-    which come straight from the parquet dictionary pages when the caller
-    read with ``read_dictionary`` (no per-term re-hash of the flat string
-    column; that hash was 3/4 of map CPU at the 1M-doc scale).
+    Positions arrive ALREADY VByte-encoded per row (docterms format v2:
+    the tokenize stage encodes gaps, first absolute) — the encode-early
+    SPIMI move taken one stage earlier: the embarrassingly-parallel
+    tokenize stage pays the encode once, docterms stores ~4x fewer
+    position bytes than raw int32 lists, and both the exchange read and
+    the shuffle ship final on-disk bytes that reducers concatenate by
+    slice.  Term hashing and lexicographic ranks are computed once per
+    *distinct* term via dictionary codes — which come straight from the
+    parquet dictionary pages when the caller read with
+    ``read_dictionary`` (no per-term re-hash of the flat string column;
+    that hash was 3/4 of map CPU at the 1M-doc scale).
     """
-    from . import vbyte
-
     B = cfg.num_buckets
     dps = cfg.docs_per_shard
 
     terms_col = _as_array(batch.column("terms"))
     tftds_col = _as_array(batch.column("tftds"))
-    pos_col = _as_array(batch.column("positions"))
+    pos_col = _as_array(batch.column("pos_blob"))
 
     lens = pa.compute.list_value_length(terms_col).to_numpy(zero_copy_only=False)
     doc_ids = np.repeat(
@@ -269,7 +284,7 @@ def _explode_arrays(
     if len(flat_terms) == 0:
         return None
     flat_tftds = tftds_col.flatten()
-    flat_positions = pos_col.flatten()  # list<int32> per (doc, term)
+    pos_blob = pos_col.flatten()  # binary VByte blob per (doc, term)
 
     if isinstance(flat_terms, pa.DictionaryArray):
         dic = flat_terms
@@ -300,35 +315,6 @@ def _explode_arrays(
         np.floor_divide(rel * widths, dps, out=salts, where=widths > 0)
     gkey = (shards * B + buckets) * SALT_WIDTH + salts
 
-    # per-row VByte position blob: gaps within the row's position list,
-    # first position absolute (decoder: reader._segmented_cumsum)
-    pos_flat = flat_positions.flatten().to_numpy(zero_copy_only=False)
-    pos_offsets = flat_positions.offsets.to_numpy(
-        zero_copy_only=False
-    ).astype(np.int64)
-    pos_offsets = pos_offsets - pos_offsets[0]
-    pos_gap = pos_flat.copy()  # stays int32: positions < 2^31
-    if pos_flat.size:
-        pos_gap[1:] -= pos_flat[:-1]
-        row_starts = pos_offsets[:-1]
-        pos_gap[row_starts] = pos_flat[row_starts]
-    blen = vbyte.encoded_lengths(pos_gap)
-    encoded = vbyte.encode(pos_gap, blen)
-    cum = np.concatenate(([0], np.cumsum(blen, dtype=np.int64)))
-    row_byte_offsets = cum[pos_offsets]
-    if len(encoded) < (1 << 31):
-        # 32-bit offsets: 4 B/row less through the shuffle than large_binary
-        pos_blob = pa.Array.from_buffers(
-            pa.binary(), codes.size,
-            [None, pa.py_buffer(row_byte_offsets.astype(np.int32)),
-             pa.py_buffer(encoded)],
-        )
-    else:
-        pos_blob = pa.Array.from_buffers(
-            pa.large_binary(), codes.size,
-            [None, pa.py_buffer(row_byte_offsets.astype(np.int64)),
-             pa.py_buffer(encoded)],
-        )
     return {
         "terms": flat_terms,
         "codes": codes,
@@ -369,6 +355,13 @@ _SEGMENT_SCHEMA = pa.schema(
 # — the interleaved 2n-wide uint64 stream build was the single largest
 # memory-traffic source on the bandwidth-bound reduce side.
 SEGMENT_FORMAT = 3
+
+# Docterms (resumable intermediate) layout version, folded into the stage
+# fingerprints the same way.  v2: positions stored as per-(doc,term) VByte
+# gap blobs (list<binary> pos_blob) encoded in the tokenize stage, not raw
+# list<list<int32>> encoded in the exchange maps — the encode runs in the
+# embarrassingly-parallel stage and docterms shrinks ~4x on positions.
+DOCTERMS_FORMAT = 2
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -471,7 +464,7 @@ def _map_runs(
         t = time.perf_counter()
         tbl = pq.read_table(
             path,
-            columns=["doc_id", "doc_length", "terms", "tftds", "positions"],
+            columns=["doc_id", "doc_length", "terms", "tftds", "pos_blob"],
             read_dictionary=["terms.list.element"],
         )
         prof["read"] += time.perf_counter() - t
@@ -1348,7 +1341,7 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     fingerprint = json.dumps(
         {"input": input_description, "cfg": cfg.to_json(),
-         "fmt": SEGMENT_FORMAT}, sort_keys=True
+         "fmt": SEGMENT_FORMAT, "dfmt": DOCTERMS_FORMAT}, sort_keys=True
     )
     t0 = time.perf_counter()
     stage_seconds: dict[str, float] = {}
@@ -1389,6 +1382,12 @@ def build_index(
             lambda batch, _t=tokenizer: _t(batch),
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
+        ).map_batches(
+            # identity rebatch: coalesce the per-tokenize-batch blocks so
+            # parquet row groups are docterms_block_rows, not batch_size
+            lambda b: b,
+            batch_format="pyarrow",
+            batch_size=cfg.docterms_block_rows,
         ).write_parquet(docterms_dir)
         stage_seconds["tokenize"] = time.perf_counter() - t0
         _commit_stage(

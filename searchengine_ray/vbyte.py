@@ -123,3 +123,46 @@ def decode(buf: bytes | memoryview | np.ndarray, count: int | None = None) -> np
     if count is not None and n_values != count:
         raise ValueError(f"expected {count} values, decoded {n_values}")
     return out
+
+def encode_position_lists(flat_positions) -> "object":
+    """``list<int32>`` per (doc, term) row -> one VByte blob per row.
+
+    Gap encoding within each row's list, first position absolute — the
+    exact per-posting stream the segment merge concatenates by byte
+    slice and ``reader._segmented_cumsum`` decodes.  Runs in the
+    TOKENIZE stage (docterms format v2) so the embarrassingly-parallel
+    stage pays the encode once and the shuffle ships final bytes; the
+    output is always 32-bit-offset ``pa.binary()`` so every tokenize
+    batch block shares one schema (a single batch's encoded positions
+    exceeding 2 GB raises — lower ``tokenize_batch_size``).
+    """
+    import pyarrow as pa
+
+    n_rows = len(flat_positions)
+    pos_flat = flat_positions.flatten().to_numpy(zero_copy_only=False)
+    pos_offsets = flat_positions.offsets.to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    pos_offsets = pos_offsets - pos_offsets[0]
+    pos_gap = np.ascontiguousarray(pos_flat, dtype=np.int32).copy()
+    if pos_gap.size:
+        pos_gap[1:] -= pos_gap[:-1].copy()
+        # a trailing empty list's "start" equals pos_gap.size: mask it
+        # (duplicate starts from interior empty rows all write the same
+        # value, so fancy assignment is safe for them)
+        row_starts = pos_offsets[:-1]
+        row_starts = row_starts[row_starts < pos_gap.size]
+        pos_gap[row_starts] = pos_flat[row_starts]
+    blen = encoded_lengths(pos_gap)
+    encoded = encode(pos_gap, blen)
+    if len(encoded) >= (1 << 31):
+        raise ValueError(
+            "a single tokenize batch encoded >= 2 GB of positions; "
+            "lower tokenize_batch_size"
+        )
+    cum = np.concatenate(([0], np.cumsum(blen, dtype=np.int64)))
+    row_byte_offsets = cum[pos_offsets]
+    return pa.Array.from_buffers(
+        pa.binary(), n_rows,
+        [None, pa.py_buffer(row_byte_offsets.astype(np.int32)),
+         pa.py_buffer(encoded)],
+    )
