@@ -61,3 +61,50 @@ def test_int64_view_matches_uint64():
         vbyte.decode(vbyte.encode(vals), count=vals.size),
         vals.astype(np.uint64),
     )
+
+
+class TestEncodePositionLists:
+    """Per-(doc,term) position blobs (docterms format v2 tokenize-side
+    encoder) — must produce the gap-encoded streams the reader's
+    _segmented_cumsum decodes."""
+
+    def _roundtrip(self, rows):
+        import pyarrow as pa
+
+        arr = pa.array(rows, type=pa.list_(pa.int32()))
+        out = vbyte.encode_position_lists(arr)
+        assert out.type == pa.binary()
+        for i, row in enumerate(rows):
+            blob = out[i].as_py()
+            if not row:
+                assert blob == b""
+                continue
+            dec = np.cumsum(
+                vbyte.decode(blob, count=len(row)).astype(np.int64))
+            assert list(dec) == row
+
+    def test_basic_gaps(self):
+        self._roundtrip([[1, 5, 9], [2], [3, 4, 5, 1000]])
+
+    def test_interior_and_trailing_empty_rows(self):
+        self._roundtrip([[7, 8], [], [], [42], [], []])
+
+    def test_all_empty(self):
+        self._roundtrip([[], [], []])
+
+    def test_empty_array(self):
+        import pyarrow as pa
+
+        out = vbyte.encode_position_lists(pa.array([], type=pa.list_(pa.int32())))
+        assert len(out) == 0
+
+    def test_sliced_input_offsets(self):
+        """A sliced ListArray (nonzero offset) must encode only its own
+        rows — offsets are rebased inside the encoder."""
+        import pyarrow as pa
+
+        arr = pa.array([[9, 9, 9], [1, 4], [2, 10]], type=pa.list_(pa.int32()))
+        out = vbyte.encode_position_lists(arr.slice(1))
+        assert len(out) == 2
+        assert list(np.cumsum(vbyte.decode(out[0].as_py(), count=2))) == [1, 4]
+        assert list(np.cumsum(vbyte.decode(out[1].as_py(), count=2))) == [2, 10]
