@@ -42,6 +42,7 @@ def _reps(paths):
         for leg, reps in size["reps"].items():
             for r in reps:
                 yield (int(leg), float(r["pre_gbps"]),
+                       float(r.get("during_min_gbps", r["pre_gbps"])),
                        float(r["files_per_sec"]))
 
 
@@ -61,21 +62,40 @@ def _fit(pts):
 def main() -> None:
     pattern = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r04_run*.json"
     pts = list(_reps(glob.glob(pattern)))
-    legs = {leg: _fit([(x, y) for lg, x, y in pts if lg == leg])
+    legs = {leg: _fit([(x, y) for lg, x, _, y in pts if lg == leg])
             for leg in (4, 16)}
+    # Second regressor: the in-leg sampler MINIMUM.  It is partially
+    # endogenous (the build's own traffic suppresses the sampler) but it
+    # is the only probe that sees a storm arriving MID-leg — a rep can
+    # draw clean pre/post probes around a pinned window (run 17's 16-CPU
+    # rep: pre 12.3, post 12.4, during-min 0.24).  Report both.
+    legs_during = {leg: _fit([(x, y) for lg, _, x, y in pts if lg == leg])
+                   for leg in (4, 16)}
     eff_per_gbps = legs[16]["slope_fps_per_gbps"] / (
         4 * legs[4]["mean_fps"])
-    pres = sorted(x for lg, x, _ in pts if lg == 16)
+    eff_per_gbps_during = legs_during[16]["slope_fps_per_gbps"] / (
+        4 * legs_during[4]["mean_fps"])
+    pres = sorted(x for lg, x, _, _ in pts if lg == 16)
+    durs = sorted(x for lg, _, x, _ in pts if lg == 16)
     spread = pres[-1] - pres[0]
+    spread_during = durs[-1] - durs[0]
     print(json.dumps({
-        "legs": legs,
+        "legs_pre_probe": legs,
+        "legs_during_min": legs_during,
         "eff_per_gbps_of_16cpu_window": round(eff_per_gbps, 3),
         "observed_16cpu_pre_window_spread_gbps": round(spread, 2),
         "weather_term_eff_range": round(eff_per_gbps * spread, 3),
+        "eff_per_gbps_of_16cpu_window_during": round(
+            eff_per_gbps_during, 3),
+        "observed_16cpu_during_min_spread_gbps": round(spread_during, 2),
+        "weather_term_eff_range_during": round(
+            eff_per_gbps_during * spread_during, 3),
         "reading": (
-            "4-CPU throughput is uncorrelated with window bandwidth "
-            "(CPU-bound); 16-CPU throughput rises ~slope f/s per spare "
-            "GB/s (bandwidth-starved).  The ratio of the two therefore "
+            "4-CPU throughput is at most weakly correlated with window "
+            "bandwidth (CPU-bound); 16-CPU throughput rises ~slope f/s "
+            "per spare GB/s on BOTH probes (bandwidth-starved), and the "
+            "during-min probe — the only one that sees mid-leg storms — "
+            "correlates strongest.  The ratio of the two legs therefore "
             "swings by weather_term_eff_range across the observed "
             "windows — wider than the gap between the per-run median "
             "and the 0.8 bar."),
