@@ -346,6 +346,37 @@ _SEGMENT_SCHEMA = pa.schema(
         ("skip_max_wdt", pa.list_(pa.float64())),
         ("skip_offset", pa.list_(pa.int64())),     # block start in blob
         ("skip_tf_offset", pa.list_(pa.int64())),  # block start in tf_blob
+        ("skip_count", pa.list_(pa.int32())),      # postings per block (v4)
+    ]
+)
+
+# Wire schema of the postings exchange (exchange wire v2): maps ship
+# PRE-ENCODED per-term posting-list fragments — the final VByte streams
+# plus their skip summaries — instead of per-posting rows.  A fragment is
+# one (docterms file, gkey, term) run: its doc range is contiguous and
+# disjoint from every other fragment of the same (gkey, term), so the
+# reducer merges fragments by pure byte concatenation (rewriting only each
+# non-first fragment's leading absolute doc id into a gap) — no re-sort,
+# no re-encode, ~8x fewer wire bytes than the per-posting row wire
+# (measured 4.0 GB -> ~0.5 GB at 1M docs).  Offsets/stats ride in the
+# narrowest dtype that fits (int32 offsets within a fragment, uint8
+# quantized wdt bounds); the reducer widens to the segment schema.
+_WIRE_SCHEMA = pa.schema(
+    [
+        ("gkey", pa.int64()),
+        ("term", pa.string()),
+        ("df", pa.int32()),
+        ("cf", pa.int64()),
+        ("max_wq", pa.uint8()),
+        ("first_doc", pa.int64()),   # absolute doc id of the first posting
+        ("blob", pa.binary()),       # VByte doc gaps, first value absolute
+        ("tf_blob", pa.binary()),    # VByte tftds, same posting order
+        ("pos_blob", pa.binary()),   # concatenated per-posting VByte blobs
+        ("skip_last_doc", pa.list_(pa.int64())),
+        ("skip_max_tftd", pa.list_(pa.int32())),
+        ("skip_max_wq", pa.list_(pa.uint8())),
+        ("skip_offset", pa.list_(pa.int32())),     # within-fragment bytes
+        ("skip_tf_offset", pa.list_(pa.int32())),
     ]
 )
 
@@ -353,8 +384,11 @@ _SEGMENT_SCHEMA = pa.schema(
 # by an older code revision is rebuilt rather than misread.  v3: the doc/tf
 # stream is split into two per-term columns (blob = gaps, tf_blob = tftds)
 # — the interleaved 2n-wide uint64 stream build was the single largest
-# memory-traffic source on the bandwidth-bound reduce side.
-SEGMENT_FORMAT = 3
+# memory-traffic source on the bandwidth-bound reduce side.  v4: skip
+# blocks carry an explicit per-block posting count (``skip_count``) —
+# fragment-encoded exchange merges fragments by byte concat, so block
+# sizes at fragment seams are irregular (coalesced up to ~skip_block).
+SEGMENT_FORMAT = 4
 
 # Docterms (resumable intermediate) layout version, folded into the stage
 # fingerprints the same way.  v2: positions stored as per-(doc,term) VByte
@@ -439,7 +473,7 @@ def _map_runs(
     num_reducers: int, avgdl: float,
 ):
     """Map side of the postings exchange: a group of docterms files -> one
-    lean, sorted partial run per (gkey) routed to its reduce partition.
+    stream of PRE-ENCODED posting-list fragments per reduce partition.
 
     Raw Ray task (not a Dataset op) by design: Ray Data's sort-based
     groupby materialises an M x M task grid whose fixed scheduling cost
@@ -449,14 +483,15 @@ def _map_runs(
     and M x P objects (the information-theoretic minimum for a shuffle),
     and each reducer fetches only its own partition.
 
-    Run blob layout: 8-byte little-endian gkey header + Arrow IPC stream
-    of (term, doc_local:int32, dl:int32, tftd:int32, pos_blob) — the
-    partition key columns are NOT shipped per row (28B/row saved), and
-    doc ids travel as int32 offsets within their shard.
+    Wire layout (exchange v2): one Arrow IPC stream of ``_WIRE_SCHEMA``
+    fragment rows per (docterms file, reducer) — each row is one
+    (gkey, term) run of the file, already VByte-encoded with its skip
+    summaries (see ``_WIRE_SCHEMA`` note).  The encode happens HERE, in
+    the wide map wave, so the reduce side — the stage that pins scaling
+    on a shared memory bus — touches ~index-sized bytes, not
+    ~posting-row-sized bytes.
     """
     _pin_arrow_threads()
-    B = cfg.num_buckets
-    dps = cfg.docs_per_shard
     prof = {"read": 0.0, "explode": 0.0, "sort": 0.0, "pack": 0.0,
             "bytes_out": 0, "t0": time.time()}
     out: list[list[bytes]] = [[] for _ in range(num_reducers)]
@@ -500,44 +535,23 @@ def _map_runs(
         ends = np.append(starts[1:], gk.size)
         prof["sort"] += time.perf_counter() - t
         t = time.perf_counter()
-        # pack per file (not per task) so each file's exploded arrays can
-        # be freed before the next file is read — slices keep their parent
-        # buffers alive, and holding a whole file group's data made big
-        # maps page-cache hostile at the 2M-doc scale
-        for s_, e_ in zip(starts, ends):
-            s_i, e_i = int(s_), int(e_)
-            gkey = int(gk[s_i])
-            shard = gkey // (SALT_WIDTH * B)
-            piece_codes = codes_s[s_i:e_i]
-            run_new = np.ones(piece_codes.size, dtype=bool)
-            run_new[1:] = piece_codes[1:] != piece_codes[:-1]
-            run_starts = np.flatnonzero(run_new)
-            run_lens = np.diff(np.append(run_starts, piece_codes.size))
-            runs_tbl = pa.table(
-                {
-                    "term": pa.array(
-                        [str(t) for t in uniq[piece_codes[run_starts]]],
-                        type=pa.string(),
-                    ),
-                    "n": pa.array(run_lens.astype(np.int32)),
-                }
-            )
-            rows_tbl = pa.table(
-                {
-                    "doc_local": pa.array(
-                        (doc_s[s_i:e_i] - shard * dps).astype(np.int32)
-                    ),
-                    "wq": pa.array(wq_s[s_i:e_i]),
-                    "tftd": pa.array(tf_s[s_i:e_i].astype(np.int32,
-                                                          copy=False)),
-                    "pos_blob": pos_s.slice(s_i, e_i - s_i),
-                }
-            )
-            runs_bytes = _ipc_bytes(runs_tbl)
-            blob = (struct.pack("<qq", gkey, len(runs_bytes))
-                    + runs_bytes + _ipc_bytes(rows_tbl))
+        # encode + pack per file (not per task) so each file's exploded
+        # arrays can be freed before the next file is read — slices keep
+        # their parent buffers alive, and holding a whole file group's
+        # data made big maps page-cache hostile at the 2M-doc scale
+        frag_tbl, frag_gkeys = _encode_file_fragments(
+            cfg, gk, codes_s, doc_s, wq_s, tf_s, pos_s, uniq
+        )
+        prof["encode"] = prof.get("encode", 0.0) + (time.perf_counter() - t)
+        t = time.perf_counter()
+        reds = _reducer_of_vec(frag_gkeys, num_reducers)
+        for r in np.unique(reds):
+            idx = np.flatnonzero(reds == r)
+            # take() compacts the referenced buffer ranges so each wire
+            # stream carries only its own fragments' bytes
+            blob = _ipc_bytes(frag_tbl.take(pa.array(idx)))
             prof["bytes_out"] += len(blob)
-            out[_reducer_of(gkey, num_reducers)].append(blob)
+            out[int(r)].append(blob)
         prof["pack"] += time.perf_counter() - t
     codec_name = _exchange_codec(cfg)
     if codec_name:
@@ -594,6 +608,172 @@ def _iter_wire_blobs(lst):
         yield from lst
 
 
+def _encode_file_fragments(
+    cfg: IndexBuildConfig,
+    gk: np.ndarray,
+    codes: np.ndarray,
+    doc: np.ndarray,
+    wq: np.ndarray,
+    tf32: np.ndarray,
+    pos_arr: pa.Array,
+    uniq: np.ndarray,
+) -> tuple[pa.Table, np.ndarray]:
+    """One docterms file's sorted postings -> a ``_WIRE_SCHEMA`` fragment
+    table, one row per (gkey, term) run, fully VByte-encoded.
+
+    Inputs are the file's exploded posting arrays sorted stably by
+    (gkey, term-code) — stable, so doc ids stay ascending inside each
+    run, and a run never spans gkeys.  ONE global VByte encode + cumsum
+    covers every run; per-run blobs are zero-copy offset slices over the
+    shared buffers (compacted later by the per-reducer ``take``).
+    Returns (fragment table, per-row gkey array) for reducer routing.
+    """
+    from . import vbyte
+
+    skip_n = cfg.skip_block
+    n = gk.size
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = (gk[1:] != gk[:-1]) | (codes[1:] != codes[:-1])
+    run_starts = np.flatnonzero(new)
+    run_ends = np.append(run_starts[1:], n)
+    n_frag = run_starts.size
+
+    # doc gaps: absolute at run start, delta inside the run.  int32 when
+    # every absolute doc id fits — halves encode-path memory traffic.
+    if int(doc[-1]) < (1 << 31):
+        doc_n = doc.astype(np.int32, copy=False)
+    else:
+        doc_n = doc
+    gap = np.empty(n, dtype=doc_n.dtype)
+    gap[0] = 0
+    np.subtract(doc_n[1:], doc_n[:-1], out=gap[1:])
+    gap[run_starts] = doc_n[run_starts]
+    blen_d = vbyte.encoded_lengths(gap)
+    dbyte_ends = np.cumsum(blen_d, dtype=np.int64)
+    if int(dbyte_ends[-1]) >= 2**31 - 1:
+        raise ValueError(
+            "docterms file fragment stream exceeds 2 GB binary-offset "
+            "range; lower docterms_block_rows so files stay smaller"
+        )
+    dbyte_ends = dbyte_ends.astype(np.int32)
+    dbyte_starts = dbyte_ends - blen_d
+    encoded_d = vbyte.encode(gap, blen_d)
+    frag_d_start = dbyte_starts[run_starts]
+    frag_d_end = dbyte_ends[run_ends - 1]
+
+    # tf stream: plain low bytes when every tftd < 128 (VByte of a value
+    # < 128 IS that byte, so plain and encoded fragments concat freely)
+    if int(tf32.max()) < 128:
+        encoded_t = np.ascontiguousarray(tf32).astype(np.uint8).tobytes()
+        tbyte_starts = None
+        frag_t_start = run_starts.astype(np.int32)
+        frag_t_end = run_ends.astype(np.int32)
+    else:
+        blen_t = vbyte.encoded_lengths(tf32)
+        tbyte_ends = np.cumsum(blen_t, dtype=np.int64)
+        if int(tbyte_ends[-1]) >= 2**31 - 1:
+            raise ValueError(
+                "docterms file tf stream exceeds 2 GB binary-offset range"
+            )
+        tbyte_ends = tbyte_ends.astype(np.int32)
+        tbyte_starts = tbyte_ends - blen_t
+        encoded_t = vbyte.encode(tf32, blen_t)
+        frag_t_start = tbyte_starts[run_starts]
+        frag_t_end = tbyte_ends[run_ends - 1]
+
+    # positions: rows are already doc-ordered and contiguous in pos_arr's
+    # data buffer (it was gathered in sorted order), so a fragment's pos
+    # stream is a pure byte range
+    off_width = 8 if pa.types.is_large_binary(pos_arr.type) else 4
+    pos_row_off = np.frombuffer(
+        pos_arr.buffers()[1],
+        dtype=np.int64 if off_width == 8 else np.int32,
+        count=len(pos_arr) + 1, offset=off_width * pos_arr.offset,
+    )
+    if int(pos_row_off[n]) >= 2**31 - 1:
+        raise ValueError(
+            "docterms file position stream exceeds 2 GB binary-offset range"
+        )
+    frag_p_start = pos_row_off[run_starts].astype(np.int32)
+    frag_p_end = pos_row_off[run_ends].astype(np.int32)
+    pos_data = pos_arr.buffers()[2]
+
+    # per-fragment stats
+    tf64 = tf32.astype(np.int64)
+    df32 = (run_ends - run_starts).astype(np.int32)
+    cf = np.add.reduceat(tf64, run_starts)
+    max_wq = np.maximum.reduceat(wq, run_starts)
+    first_doc = doc[run_starts].astype(np.int64)
+
+    # skip blocks: skip_n-regular within the fragment (the reducer
+    # coalesces irregular seam blocks after concat)
+    nblocks = (df32.astype(np.int64) + skip_n - 1) // skip_n
+    tot_blocks = int(nblocks.sum())
+    block_frag = np.repeat(np.arange(n_frag), nblocks)
+    first_block = np.cumsum(nblocks) - nblocks
+    within = np.arange(tot_blocks) - first_block[block_frag]
+    gbs = run_starts[block_frag] + skip_n * within
+    gbe = np.minimum(gbs + skip_n, run_ends[block_frag])
+    skip_last_v = doc[gbe - 1].astype(np.int64)
+    skip_max_tf_v = np.maximum.reduceat(tf32, gbs)
+    skip_max_wq_v = np.maximum.reduceat(wq, gbs)
+    skip_off_v = (dbyte_starts[gbs] - frag_d_start[block_frag]).astype(
+        np.int32)
+    if tbyte_starts is None:
+        skip_tf_off_v = (gbs - run_starts[block_frag]).astype(np.int32)
+    else:
+        skip_tf_off_v = tbyte_starts[gbs] - frag_t_start[block_frag]
+    list_off = pa.array(
+        np.concatenate([[0], np.cumsum(nblocks)]).astype(np.int32))
+
+    def _bin(starts: np.ndarray, end_last: int, buf) -> pa.Array:
+        offs = np.empty(n_frag + 1, dtype=np.int32)
+        offs[:-1] = starts
+        offs[-1] = end_last
+        return pa.Array.from_buffers(
+            pa.binary(), n_frag,
+            [None, pa.py_buffer(offs.tobytes()),
+             buf if isinstance(buf, pa.Buffer) else pa.py_buffer(buf)],
+        )
+
+    term_strings = pa.array(uniq, type=pa.string()).take(
+        pa.array(codes[run_starts]))
+    frag_gkeys = gk[run_starts]
+    tbl = pa.table(
+        {
+            "gkey": pa.array(frag_gkeys, type=pa.int64()),
+            "term": term_strings,
+            "df": pa.array(df32),
+            "cf": pa.array(cf, type=pa.int64()),
+            "max_wq": pa.array(max_wq, type=pa.uint8()),
+            "first_doc": pa.array(first_doc, type=pa.int64()),
+            "blob": _bin(frag_d_start, int(frag_d_end[-1]), encoded_d),
+            "tf_blob": _bin(frag_t_start, int(frag_t_end[-1]), encoded_t),
+            "pos_blob": _bin(frag_p_start, int(frag_p_end[-1]), pos_data),
+            "skip_last_doc": pa.ListArray.from_arrays(
+                list_off, pa.array(skip_last_v, type=pa.int64())),
+            "skip_max_tftd": pa.ListArray.from_arrays(
+                list_off, pa.array(skip_max_tf_v.astype(np.int32))),
+            "skip_max_wq": pa.ListArray.from_arrays(
+                list_off, pa.array(skip_max_wq_v, type=pa.uint8())),
+            "skip_offset": pa.ListArray.from_arrays(
+                list_off, pa.array(skip_off_v)),
+            "skip_tf_offset": pa.ListArray.from_arrays(
+                list_off, pa.array(skip_tf_off_v.astype(np.int32))),
+        },
+        schema=_WIRE_SCHEMA,
+    )
+    return tbl, frag_gkeys
+
+
+def _reducer_of_vec(gkeys: np.ndarray, num_reducers: int) -> np.ndarray:
+    """Vectorized ``_reducer_of`` (same Fibonacci-hash route)."""
+    with np.errstate(over="ignore"):
+        h = gkeys.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+    return ((h >> np.uint64(17)) % np.uint64(num_reducers)).astype(np.int64)
+
+
 def _reducer_of(gkey: int, num_reducers: int) -> int:
     """Mix before modulo: gkey is (shard*B + bucket)*SALT_WIDTH + salt, so a
     plain ``gkey % P`` with P dividing SALT_WIDTH=4096 maps every unsalted
@@ -602,111 +782,272 @@ def _reducer_of(gkey: int, num_reducers: int) -> int:
 
 
 def _unpack_blob_lists(
-    by_gkey: dict[int, dict],
+    tables: list,
     blob_lists,
     prof: dict,
 ) -> None:
-    """Decode a batch of map-output blob lists into the per-gkey
+    """Decode a batch of map-output wire blobs into the fragment-table
     accumulator (shared by the barrier and streaming reduce paths).
 
-    Blob layout: gkey (8B) + runs-IPC length (8B) + runs IPC stream
-    (term, n) + rows IPC stream (doc_local, dl, tftd, pos_blob).  Terms
-    are interned into a per-reducer dictionary; per-row term ids come
-    from np.repeat over run lengths — no per-row strings anywhere."""
+    Each blob is one Arrow IPC stream of ``_WIRE_SCHEMA`` fragment rows;
+    the read is zero-copy off the wire bytes (memoryview -> py_buffer),
+    so unpack touches only IPC headers, not fragment payloads."""
     _pt = time.perf_counter()
     for lst in blob_lists:
         for b in _iter_wire_blobs(lst):
             prof["bytes_in"] += len(b)
-            # memoryview slices are zero-copy (bytes slices would memcpy
-            # every wire byte a second time on the bus-bound reduce path);
-            # Arrow IPC then reads table bodies zero-copy off the views.
             mv = b if isinstance(b, memoryview) else memoryview(b)
-            gkey, runs_len = struct.unpack_from("<qq", mv)
-            runs = pa.ipc.open_stream(
-                pa.py_buffer(mv[16:16 + runs_len])).read_all()
-            rows = pa.ipc.open_stream(
-                pa.py_buffer(mv[16 + runs_len:])).read_all()
-            if rows.num_rows == 0:
-                continue
-            acc = by_gkey.setdefault(
-                gkey,
-                {"terms": {}, "gids": [], "doc": [], "wq": [],
-                 "tf": [], "pos": []},
-            )
-            interned = acc["terms"]
-            piece_gids = np.empty(runs.num_rows, dtype=np.int64)
-            for i, t in enumerate(runs.column("term").to_pylist()):
-                gid = interned.get(t)
-                if gid is None:
-                    gid = interned[t] = len(interned)
-                piece_gids[i] = gid
-            lens = runs.column("n").to_numpy(zero_copy_only=False)
-            acc["gids"].append(np.repeat(piece_gids, lens))
-            acc["doc"].append(
-                _as_array(rows.column("doc_local")).to_numpy(
-                    zero_copy_only=False)
-            )
-            acc["wq"].append(
-                _as_array(rows.column("wq")).to_numpy(zero_copy_only=False)
-            )
-            acc["tf"].append(
-                _as_array(rows.column("tftd")).to_numpy(zero_copy_only=False)
-            )
-            acc["pos"].append(_as_array(rows.column("pos_blob")))
+            tbl = pa.ipc.open_stream(pa.py_buffer(mv)).read_all()
+            if tbl.num_rows:
+                tables.append(tbl)
     prof["unpack"] = prof.get("unpack", 0.0) + (time.perf_counter() - _pt)
 
 
 def _finalize_segment(
-    by_gkey: dict[int, dict],
+    tables: list,
     cfg: IndexBuildConfig,
     avgdl: float,
     out_path: str,
     prof: dict,
 ):
-    """Merge the accumulated runs per gkey and write one segment parquet
-    idempotently (tmp + atomic rename)."""
-    if not by_gkey:
+    """Merge the accumulated pre-encoded fragments and write one segment
+    parquet idempotently (tmp + atomic rename).
+
+    Fragments of the same (gkey, term) are doc-range disjoint (one per
+    docterms file, files cover disjoint dense doc-id ranges), so the
+    merge is ONE vectorized pass over the whole partition:
+
+    - sort fragment rows by (gkey, term rank, first_doc);
+    - the merged doc-gap ``blob`` is the byte concatenation of the
+      fragments' blobs with each NON-first fragment's leading value
+      rewritten from an absolute doc id to the gap from the previous
+      fragment's last doc (gaps stay continuous across the whole list,
+      exactly the v3 invariant) — tf and pos streams concatenate as-is;
+    - skip summaries concatenate with byte-offset shifts, then adjacent
+      sub-``skip_block`` seam blocks coalesce up to ~skip_block postings
+      (``skip_count`` records each block's true size — format v4).
+
+    No posting is decoded or re-encoded: the reduce side of the shuffle
+    now moves ~index-sized bytes, which is what lets the exchange scale
+    past the one-bus copy roofline that pinned the row-wire design.
+    """
+    from . import vbyte
+
+    tables = [t for t in tables if t.num_rows]
+    if not tables:
         return None
-    inner = _merge_group_factory(cfg, avgdl)
+    skip_n = cfg.skip_block
+    B = cfg.num_buckets
     _pt = time.perf_counter()
-    parts = []
-    for gkey, acc in sorted(by_gkey.items()):
-        terms_global = np.empty(len(acc["terms"]), dtype=object)
-        for t, gid in acc["terms"].items():
-            terms_global[gid] = t
-        if len(acc["pos"]) == 1:
-            pos_chunks = acc["pos"]
-        else:
-            # map tasks emit pa.binary() (32-bit offsets) when a file's
-            # encoded positions fit in 2 GB, else large_binary; a group
-            # merging chunks of mixed types — or whose combined blobs
-            # exceed 2^31 bytes — must widen to large_binary first
-            # (offsets-only cost; values buffers are shared).  Chunks stay
-            # a list: merge() gathers straight from the chunked array, so
-            # the pos bytes move ONCE (the sort gather), not twice.
-            total = sum(c.nbytes for c in acc["pos"])
-            mixed = len({str(c.type) for c in acc["pos"]}) > 1
-            if mixed or total >= 2**31 - 1:
-                pos_chunks = [
-                    c if pa.types.is_large_binary(c.type)
-                    else c.cast(pa.large_binary())
-                    for c in acc["pos"]
-                ]
-            else:
-                pos_chunks = acc["pos"]
-        _ct = time.perf_counter()
-        gids_c = np.concatenate(acc["gids"])
-        doc_c = np.concatenate(acc["doc"])
-        wq_c = np.concatenate(acc["wq"])
-        tf_c = np.concatenate(acc["tf"])
-        prof["m_concat"] = prof.get("m_concat", 0.0) + (
-            time.perf_counter() - _ct)
-        parts.append(
-            inner(gkey, terms_global, gids_c, doc_c, wq_c, tf_c,
-                  pos_chunks, prof=prof)
+    T = pa.concat_tables(tables).combine_chunks()
+    n = T.num_rows
+    gk = T.column("gkey").chunk(0).to_numpy()
+    denc = T.column("term").chunk(0).dictionary_encode()
+    codes = denc.indices.to_numpy().astype(np.int64)
+    vocab = np.asarray(denc.dictionary.to_pylist(), dtype=object)
+    rank_of = np.empty(len(vocab), dtype=np.int64)
+    rank_of[np.argsort(vocab, kind="stable")] = np.arange(len(vocab))
+    ranks = rank_of[codes]
+    fd = T.column("first_doc").chunk(0).to_numpy()
+    order = np.lexsort((fd, ranks, gk))
+    Ts = T.take(pa.array(order)).combine_chunks()
+    gk_s = gk[order]
+    ranks_s = ranks[order]
+    fd_s = fd[order].astype(np.int64)
+    prof["m_sort"] = prof.get("m_sort", 0.0) + (time.perf_counter() - _pt)
+    _pt = time.perf_counter()
+
+    def col(name: str) -> pa.Array:
+        return Ts.column(name).chunk(0)
+
+    df64 = col("df").to_numpy().astype(np.int64)
+    cf_f = col("cf").to_numpy()
+    maxwq_f = col("max_wq").to_numpy()
+    blob_a = col("blob")
+    tf_a = col("tf_blob")
+    pos_a = col("pos_blob")
+
+    # merged-term boundaries over the sorted fragment rows
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    new[1:] = (gk_s[1:] != gk_s[:-1]) | (ranks_s[1:] != ranks_s[:-1])
+    t_starts = np.flatnonzero(new)
+    t_ends = np.append(t_starts[1:], n)
+    n_terms = t_starts.size
+    frags_per_term = t_ends - t_starts
+
+    # skip-list columns -> flat values + per-fragment block counts
+    last_col = col("skip_last_doc")
+    nb = pa.compute.list_value_length(last_col).to_numpy().astype(np.int64)
+    last_vals = last_col.flatten().to_numpy()
+    maxtf_vals = col("skip_max_tftd").flatten().to_numpy().astype(np.int64)
+    maxwq_vals = col("skip_max_wq").flatten().to_numpy()
+    off_vals = col("skip_offset").flatten().to_numpy().astype(np.int64)
+    tfoff_vals = col("skip_tf_offset").flatten().to_numpy().astype(np.int64)
+    frag_last = last_vals[np.cumsum(nb) - 1]
+
+    # first-gap rewrite: non-first fragments' leading absolute doc id
+    # becomes the gap from the previous fragment's last doc
+    prev_last = np.empty(n, dtype=np.int64)
+    prev_last[0] = 0
+    prev_last[1:] = frag_last[:-1]
+    new_first = np.where(new, fd_s, fd_s - prev_last)
+    old_len8 = vbyte.encoded_lengths(fd_s)
+    new_len8 = vbyte.encoded_lengths(new_first)
+    old_len = old_len8.astype(np.int64)
+    new_len = new_len8.astype(np.int64)
+    nf_buf = vbyte.encode(new_first, new_len8)
+
+    blob_off = np.frombuffer(
+        blob_a.buffers()[1], dtype=np.int32, count=n + 1,
+        offset=4 * blob_a.offset,
+    ).astype(np.int64)
+    blob_data = memoryview(blob_a.buffers()[2])
+    frag_len = blob_off[1:] - blob_off[:-1]
+    out_frag_len = frag_len - old_len + new_len
+    out_term_len = np.add.reduceat(out_frag_len, t_starts)
+    term_blob_off = np.empty(n_terms + 1, dtype=np.int64)
+    term_blob_off[0] = 0
+    np.cumsum(out_term_len, out=term_blob_off[1:])
+    if int(term_blob_off[-1]) >= 2**31 - 1:
+        raise ValueError(
+            "segment partition blob exceeds 2 GB binary-offset range; "
+            "raise num_reducers so partitions stay smaller"
         )
-    seg = pa.concat_tables(parts)
-    prof["merge"] = time.perf_counter() - _pt
+
+    # assemble the merged doc-gap blob: (rewritten first value, rest of
+    # fragment) byte pieces in sorted order, one join
+    nf_ends = np.cumsum(new_len)
+    nf_starts = nf_ends - new_len
+    nf_mv = memoryview(nf_buf)
+    pieces: list = [None] * (2 * n)
+    pieces[0::2] = [
+        nf_mv[a:b] for a, b in zip(nf_starts.tolist(), nf_ends.tolist())
+    ]
+    pieces[1::2] = [
+        blob_data[a:b]
+        for a, b in zip((blob_off[:-1] + old_len).tolist(),
+                        blob_off[1:].tolist())
+    ]
+    merged_blob = b"".join(pieces)
+    prof["m_concat"] = prof.get("m_concat", 0.0) + (
+        time.perf_counter() - _pt)
+    _pt = time.perf_counter()
+
+    # tf/pos merged columns are zero-copy: the take() above compacted
+    # fragment payloads contiguous in sorted order, so a merged term's
+    # stream is a pure byte range of the column's data buffer
+    def _term_ranges(arr: pa.Array) -> pa.Array:
+        offs = np.frombuffer(
+            arr.buffers()[1], dtype=np.int32, count=n + 1,
+            offset=4 * arr.offset,
+        )
+        t_off = np.empty(n_terms + 1, dtype=np.int32)
+        t_off[:-1] = offs[t_starts]
+        t_off[-1] = offs[n]
+        return pa.Array.from_buffers(
+            pa.binary(), n_terms,
+            [None, pa.py_buffer(t_off.tobytes()), arr.buffers()[2]],
+        )
+
+    tf_col_out = _term_ranges(tf_a)
+    pos_col_out = _term_ranges(pos_a)
+
+    # skip merge: shift per-fragment offsets into merged-blob coordinates
+    excl = np.cumsum(out_frag_len) - out_frag_len
+    base_within_term = excl - np.repeat(excl[t_starts], frags_per_term)
+    delta = new_len - old_len
+    tf_off_all = np.frombuffer(
+        tf_a.buffers()[1], dtype=np.int32, count=n + 1,
+        offset=4 * tf_a.offset,
+    ).astype(np.int64)
+    tf_base_within = tf_off_all[:-1] - np.repeat(
+        tf_off_all[t_starts], frags_per_term)
+
+    tot_blocks = int(nb.sum())
+    first_block = np.cumsum(nb) - nb
+    block_frag = np.repeat(np.arange(n), nb)
+    k_within = np.arange(tot_blocks, dtype=np.int64) - first_block[block_frag]
+    counts = np.minimum(skip_n, df64[block_frag] - k_within * skip_n)
+    new_off_block = (off_vals + base_within_term[block_frag]
+                     + np.where(k_within > 0, delta[block_frag], 0))
+    new_tfoff_block = tfoff_vals + tf_base_within[block_frag]
+    term_of_frag = np.cumsum(new) - 1
+    term_of_block = term_of_frag[block_frag]
+
+    # coalesce: fragment seams leave sub-skip_n blocks; group adjacent
+    # blocks within a term until each group holds >= skip_n postings
+    # (groups land in [skip_n, 2*skip_n) except a term's last) — byte
+    # ranges stay contiguous because gaps are continuous after the
+    # first-value rewrite
+    csum = np.cumsum(counts)
+    exc = csum - counts
+    blocks_per_term = np.add.reduceat(nb, t_starts)
+    term_block_first = first_block[t_starts]
+    exw = exc - np.repeat(exc[term_block_first], blocks_per_term)
+    grp = exw // skip_n
+    gnew = np.empty(tot_blocks, dtype=bool)
+    gnew[0] = True
+    gnew[1:] = (term_of_block[1:] != term_of_block[:-1]) | (
+        grp[1:] != grp[:-1])
+    gstarts = np.flatnonzero(gnew)
+    gends = np.append(gstarts[1:], tot_blocks)
+    g_count = np.add.reduceat(counts, gstarts).astype(np.int32)
+    g_last = last_vals[gends - 1].astype(np.int64)
+    g_maxtf = np.maximum.reduceat(maxtf_vals, gstarts)
+    g_maxwq = np.maximum.reduceat(maxwq_vals, gstarts)
+    g_off = new_off_block[gstarts]
+    g_tfoff = new_tfoff_block[gstarts]
+    term_of_group = term_of_block[gstarts]
+    slist_off = pa.array(
+        np.searchsorted(term_of_group, np.arange(n_terms + 1)).astype(
+            np.int32))
+
+    salt_s = (gk_s % SALT_WIDTH).astype(np.int32)
+    rest = gk_s // SALT_WIDTH
+    bucket_s = (rest % B).astype(np.int32)
+    shard_s = (rest // B).astype(np.int32)
+    sel = pa.array(t_starts)
+    blob_off32 = term_blob_off.astype(np.int32)
+    seg = pa.table(
+        {
+            "term": col("term").take(sel),
+            "shard": pa.array(shard_s[t_starts]),
+            "salt": pa.array(salt_s[t_starts]),
+            "bucket": pa.array(bucket_s[t_starts]),
+            "df": pa.array(np.add.reduceat(df64, t_starts),
+                           type=pa.int64()),
+            "cf": pa.array(np.add.reduceat(cf_f, t_starts),
+                           type=pa.int64()),
+            "max_wdt": pa.array(
+                np.maximum.reduceat(maxwq_f, t_starts).astype(np.float64)
+                / WDT_QUANT),
+            "blob": pa.Array.from_buffers(
+                pa.binary(), n_terms,
+                [None, pa.py_buffer(blob_off32.tobytes()),
+                 pa.py_buffer(merged_blob)],
+            ),
+            "tf_blob": tf_col_out,
+            "pos_blob": pos_col_out,
+            "skip_last_doc": pa.ListArray.from_arrays(
+                slist_off, pa.array(g_last, type=pa.int64())),
+            "skip_max_tftd": pa.ListArray.from_arrays(
+                slist_off, pa.array(g_maxtf, type=pa.int64())),
+            "skip_max_wdt": pa.ListArray.from_arrays(
+                slist_off, pa.array(g_maxwq.astype(np.float64) / WDT_QUANT)),
+            "skip_offset": pa.ListArray.from_arrays(
+                slist_off, pa.array(g_off, type=pa.int64())),
+            "skip_tf_offset": pa.ListArray.from_arrays(
+                slist_off, pa.array(g_tfoff, type=pa.int64())),
+            "skip_count": pa.ListArray.from_arrays(
+                slist_off, pa.array(g_count)),
+        },
+        schema=_SEGMENT_SCHEMA,
+    )
+    prof["merge"] = prof.get("m_sort", 0.0) + prof.get("m_concat", 0.0) + (
+        time.perf_counter() - _pt)
+    prof["m_skip_tbl"] = prof.get("m_skip_tbl", 0.0) + (
+        time.perf_counter() - _pt)
     _pt = time.perf_counter()
     tmp = out_path + ".tmp"
     # no statistics on the blob columns: parquet min/max for a binary
@@ -745,9 +1086,9 @@ def _reduce_runs(
     then unpack + merge + write."""
     _pin_arrow_threads()
     prof = {"merge": 0.0, "write": 0.0, "bytes_in": 0, "t0": time.time()}
-    by_gkey: dict[int, dict] = {}
-    _unpack_blob_lists(by_gkey, blob_lists, prof)
-    return _finalize_segment(by_gkey, cfg, avgdl, out_path, prof)
+    tables: list = []
+    _unpack_blob_lists(tables, blob_lists, prof)
+    return _finalize_segment(tables, cfg, avgdl, out_path, prof)
 
 
 @ray.remote
@@ -769,13 +1110,13 @@ def _reduce_runs_streaming(
     _pin_arrow_threads()
     prof = {"merge": 0.0, "write": 0.0, "bytes_in": 0, "t0": time.time(),
             "streamed_batches": 0}
-    by_gkey: dict[int, dict] = {}
+    tables: list = []
     pending = list(blob_refs)
     while pending:
         done, pending = ray.wait(pending, num_returns=1)
-        _unpack_blob_lists(by_gkey, ray.get(done), prof)
+        _unpack_blob_lists(tables, ray.get(done), prof)
         prof["streamed_batches"] += 1
-    return _finalize_segment(by_gkey, cfg, avgdl, out_path, prof)
+    return _finalize_segment(tables, cfg, avgdl, out_path, prof)
 
 
 def build_segments_exchange(
@@ -847,272 +1188,6 @@ def build_segments_exchange(
             for r in range(num_reducers)
         ]
     return [m for m in ray.get(reduce_refs) if m]
-
-
-def _merge_group_factory(cfg: IndexBuildConfig, avgdl: float):
-    """One gkey's postings (columns term, doc_local, dl, tftd, pos_blob)
-    -> encoded posting-list fragments.
-
-    Encoding (north rule: delta + VByte + block-max skip metadata;
-    SEGMENT_FORMAT v3 stores doc gaps and tftds as two parallel streams):
-    - ``blob``: VByte stream of doc gaps, one per posting.  First gap of
-      the fragment is the absolute doc_id; gaps are continuous across skip
-      blocks, so block k decodes independently given skip_last_doc[k-1] as
-      its base.
-    - ``tf_blob``: VByte stream of tftds, same posting order
-      (``skip_tf_offset`` gives each skip block's start within it).
-    - ``pos_blob``: VByte stream of position gaps (absolute at each
-      posting's first position, delta inside a posting's list) — arrives
-      pre-encoded per row from the maps; a term's stream is a pure
-      byte-slice concat.
-    - skip arrays, one entry per ``skip_block`` postings: last doc_id,
-      max tftd, max BM25 wdt (precomputed against the corpus avgdl so the
-      query-time WAND bound is wqt * skip_max_wdt), byte offset into blob.
-
-    All sorting runs on integer arrays (dictionary codes ranked
-    lexicographically), never on strings.
-    """
-    from . import vbyte
-
-    skip_n = cfg.skip_block
-    B = cfg.num_buckets
-    dps = cfg.docs_per_shard
-
-    def merge(
-        gkey: int,
-        terms_global: np.ndarray,
-        gids: np.ndarray,
-        doc_local: np.ndarray,
-        wq8: np.ndarray,
-        tftds32: np.ndarray,
-        pos_chunks: list[pa.Array],
-        prof: dict | None = None,
-    ) -> pa.Table:
-        n = gids.size
-        if n == 0:
-            return _SEGMENT_SCHEMA.empty_table()
-        _pt = time.perf_counter()
-        salt = gkey % SALT_WIDTH
-        rest = gkey // SALT_WIDTH
-        bucket = rest % B
-        shard = rest // B
-
-        uniq = terms_global
-        rank_of_uniq = np.empty(len(uniq), dtype=np.int32)
-        rank_of_uniq[np.argsort(uniq, kind="stable")] = np.arange(
-            len(uniq), dtype=np.int32)
-
-        ranks = rank_of_uniq[gids]
-        if len(uniq) * dps < (1 << 31):
-            # int32 packed key (rank * dps + doc_local): half the
-            # radix-sort + key-build traffic of the int64 variant; the
-            # guard makes overflow impossible
-            order = np.argsort(ranks * np.int32(dps) + doc_local,
-                               kind="stable")
-        elif len(uniq) < (1 << 62) // dps:
-            order = np.argsort(
-                ranks.astype(np.int64) * dps + doc_local.astype(np.int64),
-                kind="stable")
-        else:
-            # rows in a gkey share one shard, so doc_local orders
-            # identically to the absolute doc_id
-            order = np.lexsort((doc_local, ranks))
-        codes = gids[order]
-        dloc = doc_local[order]          # int32; doc_id = shard*dps + dloc
-        wq = wq8[order]
-        tf32 = tftds32[order]            # int32, encoded directly (v3)
-        tftds = tf32.astype(np.int64)    # int64 view for stats/reduceat
-        if prof is not None:
-            prof["m_sort"] = prof.get("m_sort", 0.0) + (
-                time.perf_counter() - _pt)
-            _pt = time.perf_counter()
-        # gather pos rows straight from the (possibly chunked) input —
-        # the bytes move ONCE, in this gather, instead of a concat pass
-        # followed by a take pass
-        idx = pa.array(order)
-        if len(pos_chunks) == 1:
-            pos_arr = pos_chunks[0].take(idx)
-        else:
-            taken = pa.chunked_array(pos_chunks).take(idx)
-            pos_arr = (taken.combine_chunks() if taken.num_chunks != 1
-                       else taken.chunk(0))
-        # the gather rebuilt the binary array, so its data buffer holds
-        # the per-row blobs contiguous in (term, doc_id) order: a term's
-        # pos_blob is a pure slice, no decode/re-encode
-        off_width = 8 if pa.types.is_large_binary(pos_arr.type) else 4
-        pos_row_off = np.frombuffer(
-            pos_arr.buffers()[1],
-            dtype=np.int64 if off_width == 8 else np.int32,
-            count=len(pos_arr) + 1, offset=off_width * pos_arr.offset,
-        ).astype(np.int64)
-        pos_data = memoryview(pos_arr.buffers()[2])
-        if prof is not None:
-            prof["m_gather"] = prof.get("m_gather", 0.0) + (
-                time.perf_counter() - _pt)
-            _pt = time.perf_counter()
-
-        # term-run boundaries (codes are int-sorted by lexicographic rank)
-        new_term = np.empty(n, dtype=bool)
-        new_term[0] = True
-        new_term[1:] = codes[1:] != codes[:-1]
-        run_starts = np.flatnonzero(new_term)          # posting index
-        run_ends = np.append(run_starts[1:], n)
-
-        # doc gaps: absolute at run start, delta inside run.  Rows in a
-        # gkey share ONE shard, so gaps are int32 doc_local diffs (no
-        # full int64 doc_ids array) with shard*dps + dloc patched in at
-        # the sparse run starts.
-        shard_base = np.int64(shard) * dps
-        # int32 gap array when even the absolute run-start ids fit (all
-        # corpora below 2^31 docs): halves the encode path's memory
-        # traffic (diff, length-scan, byte-emit all read this array) on
-        # the bandwidth-bound reduce side; int64 only for the huge tail
-        gap_dt = np.int32 if shard_base + dps < (1 << 31) else np.int64
-        doc_gap = np.empty(n, dtype=gap_dt)
-        doc_gap[0] = 0
-        np.subtract(dloc[1:], dloc[:-1], out=doc_gap[1:])
-        doc_gap[run_starts] = (shard_base + dloc[run_starts]).astype(gap_dt)
-
-        # doc-gap and tf streams encoded separately (format v3): the old
-        # interleaved 2n-wide uint64 stream build (strided writes + 2n
-        # int64 lengths/cumsum) was the single largest memory-traffic
-        # source on the bandwidth-bound reduce side.  All helper arrays
-        # here are uint8/int32 for the same reason.
-        blen_d = vbyte.encoded_lengths(doc_gap)            # uint8
-        if (int(blen_d.sum()) >= 2**31 - 1
-                or int(pos_row_off[n]) >= 2**31 - 1):
-            raise ValueError(
-                "gkey fragment exceeds 2 GB binary-offset range; raise "
-                "max_salt / num_buckets so salted sub-ranges stay smaller"
-            )
-        dbyte_ends = np.cumsum(blen_d, dtype=np.int32)
-        dbyte_starts = dbyte_ends - blen_d
-        encoded_d = vbyte.encode(doc_gap, blen_d)
-        term_byte_start = dbyte_starts[run_starts]
-        term_byte_end = dbyte_ends[run_ends - 1]
-        tf_plain = bool(int(tf32.max()) < 128)
-        if tf_plain:
-            # tftds all < 128 (the overwhelmingly common case): the
-            # VByte stream IS the low bytes, so byte offsets are posting
-            # indices — no length/cumsum arrays at all
-            encoded_t = np.ascontiguousarray(tf32).astype(np.uint8).tobytes()
-            term_tf_start = run_starts
-            term_tf_end = run_ends
-            tbyte_starts = None
-        else:
-            blen_t = vbyte.encoded_lengths(tf32)
-            if int(blen_t.sum()) >= 2**31 - 1:
-                raise ValueError(
-                    "gkey fragment exceeds 2 GB binary-offset range; "
-                    "raise max_salt / num_buckets so salted sub-ranges "
-                    "stay smaller"
-                )
-            tbyte_ends = np.cumsum(blen_t, dtype=np.int32)
-            tbyte_starts = tbyte_ends - blen_t
-            encoded_t = vbyte.encode(tf32, blen_t)
-            term_tf_start = tbyte_starts[run_starts]
-            term_tf_end = tbyte_ends[run_ends - 1]
-        if prof is not None:
-            prof["m_encode"] = prof.get("m_encode", 0.0) + (
-                time.perf_counter() - _pt)
-            _pt = time.perf_counter()
-
-        # byte range of each term run in the row-contiguous pos data
-        term_pos_byte_start = pos_row_off[run_starts]
-        term_pos_byte_end = pos_row_off[run_ends]
-
-        df = (run_ends - run_starts).astype(np.int64)
-        cf = np.add.reduceat(tftds, run_starts).astype(np.int64)
-        max_wdt_per_term = (
-            np.maximum.reduceat(wq, run_starts).astype(np.float64) / WDT_QUANT
-        )
-
-        # fully vectorized fragment assembly (the per-term Python loop
-        # with bytes()/.tolist() copies was the dominant merge cost AND
-        # doubled the memcpy volume on the bandwidth-bound reduce side):
-        # term byte ranges tile `encoded`/`pos_data` contiguously, so
-        # both blob columns are zero-copy BinaryArrays over those
-        # buffers, and every skip array falls out of ONE global reduceat
-        # over strictly-increasing block starts.
-        n_terms = len(run_starts)
-        blob_off = np.empty(n_terms + 1, dtype=np.int32)
-        blob_off[:-1] = term_byte_start
-        blob_off[-1] = term_byte_end[-1]
-        blob_arr = pa.Array.from_buffers(
-            pa.binary(), n_terms,
-            [None, pa.py_buffer(blob_off.tobytes()), pa.py_buffer(encoded_d)],
-        )
-        tf_off = np.empty(n_terms + 1, dtype=np.int32)
-        tf_off[:-1] = term_tf_start
-        tf_off[-1] = term_tf_end[-1]
-        tf_blob_arr = pa.Array.from_buffers(
-            pa.binary(), n_terms,
-            [None, pa.py_buffer(tf_off.tobytes()), pa.py_buffer(encoded_t)],
-        )
-        pos_off = np.empty(n_terms + 1, dtype=np.int32)
-        pos_off[:-1] = term_pos_byte_start
-        pos_off[-1] = term_pos_byte_end[-1]
-        pos_blob_arr = pa.Array.from_buffers(
-            pa.binary(), n_terms,
-            [None, pa.py_buffer(pos_off.tobytes()), pa.py_buffer(pos_data)],
-        )
-
-        lens_t = run_ends - run_starts
-        nblocks = (lens_t + skip_n - 1) // skip_n
-        tot_blocks = int(nblocks.sum())
-        block_term = np.repeat(np.arange(n_terms), nblocks)
-        first_block = np.cumsum(nblocks) - nblocks
-        within = np.arange(tot_blocks) - first_block[block_term]
-        gbs = run_starts[block_term] + skip_n * within   # global block starts
-        gbe = np.minimum(gbs + skip_n, run_ends[block_term])
-        skip_last_v = shard_base + dloc[gbe - 1]
-        skip_max_tf_v = np.maximum.reduceat(tftds, gbs).astype(np.int64)
-        skip_max_w_v = (
-            np.maximum.reduceat(wq, gbs).astype(np.float64) / WDT_QUANT
-        )
-        skip_off_v = dbyte_starts[gbs] - term_byte_start[block_term]
-        if tf_plain:
-            skip_tf_off_v = gbs - run_starts[block_term]
-        else:
-            skip_tf_off_v = tbyte_starts[gbs] - term_tf_start[block_term]
-        list_off = pa.array(
-            np.concatenate([[0], np.cumsum(nblocks)]).astype(np.int32)
-        )
-
-        out_terms = uniq[codes[run_starts]]
-        out_tbl = pa.table(
-            {
-                "term": pa.array(out_terms, type=pa.string()),
-                "shard": pa.array(
-                    np.full(n_terms, shard, dtype=np.int32)),
-                "salt": pa.array(np.full(n_terms, salt, dtype=np.int32)),
-                "bucket": pa.array(
-                    np.full(n_terms, bucket, dtype=np.int32)),
-                "df": pa.array(df, type=pa.int64()),
-                "cf": pa.array(cf, type=pa.int64()),
-                "max_wdt": pa.array(max_wdt_per_term, type=pa.float64()),
-                "blob": blob_arr,
-                "tf_blob": tf_blob_arr,
-                "pos_blob": pos_blob_arr,
-                "skip_last_doc": pa.ListArray.from_arrays(
-                    list_off, pa.array(skip_last_v, type=pa.int64())),
-                "skip_max_tftd": pa.ListArray.from_arrays(
-                    list_off, pa.array(skip_max_tf_v, type=pa.int64())),
-                "skip_max_wdt": pa.ListArray.from_arrays(
-                    list_off, pa.array(skip_max_w_v, type=pa.float64())),
-                "skip_offset": pa.ListArray.from_arrays(
-                    list_off, pa.array(skip_off_v, type=pa.int64())),
-                "skip_tf_offset": pa.ListArray.from_arrays(
-                    list_off, pa.array(skip_tf_off_v, type=pa.int64())),
-            },
-            schema=_SEGMENT_SCHEMA,
-        )
-        if prof is not None:
-            prof["m_skip_tbl"] = prof.get("m_skip_tbl", 0.0) + (
-                time.perf_counter() - _pt)
-        return out_tbl
-
-    return merge
 
 
 def _stage_done(index_dir: str, stage: str, fingerprint: str) -> bool:

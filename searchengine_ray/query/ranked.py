@@ -99,7 +99,7 @@ class _TermCursor:
         for fi, fr in enumerate(index.fragments(term)):
             row = index.read_fragment_row(
                 fr, ["blob", "tf_blob", "skip_last_doc", "skip_max_wdt",
-                     "skip_offset", "skip_tf_offset"]
+                     "skip_offset", "skip_tf_offset", "skip_count"]
             )
             row["df"] = fr.df
             self._frag_rows.append(row)
@@ -133,7 +133,9 @@ class _TermCursor:
         blob = row["blob"]
         start = offs[bif]
         end = offs[bif + 1] if bif + 1 < len(offs) else len(blob)
-        n_postings = min(self._skip_n, row["df"] - bif * self._skip_n)
+        # format v4: blocks are variable-size (fragment seams coalesce),
+        # so the per-block posting count is persisted, not derived
+        n_postings = row["skip_count"][bif]
         gaps = vbyte.decode(blob[start:end], count=n_postings).astype(
             np.int64)
         # first gap of a non-first block is relative to the previous
@@ -156,7 +158,7 @@ class _TermCursor:
         tf_blob = row["tf_blob"]
         ts = toffs[bif]
         te = toffs[bif + 1] if bif + 1 < len(toffs) else len(tf_blob)
-        n_postings = min(self._skip_n, row["df"] - bif * self._skip_n)
+        n_postings = row["skip_count"][bif]
         tftds = vbyte.decode(tf_blob[ts:te], count=n_postings).astype(
             np.int64)
         self._tf_decoded[b] = tftds
