@@ -1,0 +1,269 @@
+"""Unit tests for the fragment-encoded postings exchange (wire v2 /
+segment format v4): the map-side ``_encode_file_fragments`` kernel and the
+reduce-side ``_finalize_segment`` merge, exercised directly on synthetic
+posting arrays — no Ray, no parquet corpus.
+
+Invariants under test (build.py ``_WIRE_SCHEMA`` / ``_finalize_segment``
+docstrings):
+- a merged term's doc-gap blob decodes to the exact ascending doc ids
+  across fragments (the non-first fragments' leading absolute ids are
+  rewritten into gaps, deltas continuous across the whole list);
+- tf and pos streams are pure byte concatenations in posting order;
+- every skip block slice-decodes independently given the previous block's
+  last doc, and ``skip_count`` sums to df;
+- seam blocks coalesce to >= skip_block postings (except a term's last);
+- df/cf/max_wdt and the per-block maxima aggregate exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from searchengine_ray import vbyte
+from searchengine_ray.build import (
+    SALT_WIDTH,
+    WDT_QUANT,
+    IndexBuildConfig,
+    _encode_file_fragments,
+    _finalize_segment,
+    _reducer_of,
+    _reducer_of_vec,
+    wdt_quantized,
+)
+
+AVGDL = 10.0
+
+
+def _gkey(shard: int, bucket: int, salt: int, B: int) -> int:
+    return (shard * B + bucket) * SALT_WIDTH + salt
+
+
+def _encode_file(cfg, rows):
+    """rows: list of (gkey, term, doc_id, tftd, dl, pos_payload bytes).
+
+    Replays _map_runs' prep: stable sort by (gkey, first-seen term code)
+    preserving ascending doc order inside each run.
+    """
+    code_of: dict = {}
+    for _, term, *_ in rows:
+        code_of.setdefault(term, len(code_of))
+    rows = sorted(rows, key=lambda r: (r[0], code_of[r[1]]))
+    gk = np.array([r[0] for r in rows], dtype=np.int64)
+    codes = np.array([code_of[r[1]] for r in rows], dtype=np.int64)
+    doc = np.array([r[2] for r in rows], dtype=np.int64)
+    tf = np.array([r[3] for r in rows], dtype=np.int32)
+    dl = np.array([r[4] for r in rows], dtype=np.float64)
+    wq = wdt_quantized(tf, dl, AVGDL)
+    pos = pa.array([r[5] for r in rows], type=pa.binary())
+    uniq = np.array(list(code_of), dtype=object)
+    return _encode_file_fragments(cfg, gk, codes, doc, wq, tf, pos, uniq)
+
+
+def _finalize(cfg, tables, tmp_path):
+    out = os.path.join(str(tmp_path), "segment_test.parquet")
+    prof = {"merge": 0.0, "write": 0.0, "bytes_in": 0}
+    meta = _finalize_segment(list(tables), cfg, AVGDL, out, prof)
+    return pq.read_table(out), meta
+
+
+def _decode_docs(blob: bytes, df: int) -> np.ndarray:
+    gaps = vbyte.decode(blob, count=df).astype(np.int64)
+    return np.cumsum(gaps)
+
+
+def _expected(rows_by_file):
+    """{(gkey, term): dict(docs, tfs, pos, dls)} over all files, doc-asc."""
+    exp: dict = {}
+    for rows in rows_by_file:
+        for gkey, term, doc, tf, dl, pos in rows:
+            e = exp.setdefault((gkey, term),
+                               {"docs": [], "tfs": [], "pos": b"",
+                                "dls": []})
+            e["docs"].append(doc)
+            e["tfs"].append(tf)
+            e["dls"].append(dl)
+            e["pos"] += pos
+    for e in exp.values():
+        order = np.argsort(e["docs"], kind="stable")
+        assert list(order) == sorted(order), "spec rows must be doc-asc"
+    return exp
+
+
+def _make_rows(file_idx: int, docs: range, terms: list[str], B: int,
+               shard_of=lambda d: 0, salt_of=lambda t, d: 0):
+    """Deterministic synthetic postings: term t appears in doc d when
+    (d + hash-ish) % (t_idx + 2) == 0, tf/dl/pos derived from (t, d)."""
+    rows = []
+    for d in docs:
+        for ti, t in enumerate(terms):
+            if (d + ti) % (ti + 2):
+                continue
+            tf = 1 + (d + ti) % 5
+            dl = 5.0 + (d % 7)
+            pos = bytes([(d + ti) % 251 + 1]) * (1 + (d + ti) % 3)
+            import zlib
+
+            bucket = zlib.crc32(t.encode()) % B
+            rows.append((
+                _gkey(shard_of(d), bucket, salt_of(t, d), B),
+                t, d, tf, dl, pos,
+            ))
+    return rows
+
+
+@pytest.mark.parametrize("skip_block", [4, 128])
+def test_fragment_merge_roundtrip(tmp_path, skip_block):
+    cfg = IndexBuildConfig(num_buckets=8, skip_block=skip_block)
+    terms = [f"t{i:02d}" for i in range(9)]
+    files = [
+        _make_rows(0, range(0, 40), terms, cfg.num_buckets),
+        _make_rows(1, range(40, 90), terms, cfg.num_buckets),
+        _make_rows(2, range(90, 101), terms, cfg.num_buckets),
+    ]
+    tables = [_encode_file(cfg, rows)[0] for rows in files]
+    seg, meta = _finalize(cfg, tables, tmp_path)
+    exp = _expected(files)
+
+    assert seg.num_rows == len(exp)
+    assert meta["rows"] == len(exp)
+    by_key = {}
+    for i in range(seg.num_rows):
+        row = {c: seg.column(c)[i].as_py() for c in seg.column_names}
+        gk = _gkey(row["shard"], row["bucket"], row["salt"],
+                   cfg.num_buckets)
+        by_key[(gk, row["term"])] = row
+
+    assert set(by_key) == set(exp)
+    for key, e in exp.items():
+        row = by_key[key]
+        df = row["df"]
+        assert df == len(e["docs"])
+        assert row["cf"] == sum(e["tfs"])
+        docs = _decode_docs(row["blob"], df)
+        assert docs.tolist() == e["docs"]
+        tfs = vbyte.decode(row["tf_blob"], count=df).astype(np.int64)
+        assert tfs.tolist() == e["tfs"]
+        assert row["pos_blob"] == e["pos"]
+        wq = wdt_quantized(np.asarray(e["tfs"], np.int32),
+                           np.asarray(e["dls"]), AVGDL)
+        assert row["max_wdt"] == pytest.approx(int(wq.max()) / WDT_QUANT)
+
+        # ---- skip-block invariants ----
+        counts = row["skip_count"]
+        assert sum(counts) == df
+        offs = row["skip_offset"]
+        toffs = row["skip_tf_offset"]
+        lasts = row["skip_last_doc"]
+        maxtf = row["skip_max_tftd"]
+        maxw = row["skip_max_wdt"]
+        assert offs[0] == 0 and toffs[0] == 0
+        base = 0
+        p = 0
+        for b, cnt in enumerate(counts):
+            end = offs[b + 1] if b + 1 < len(offs) else len(row["blob"])
+            gaps = vbyte.decode(row["blob"][offs[b]:end], count=cnt)
+            bdocs = base + np.cumsum(gaps.astype(np.int64))
+            assert bdocs.tolist() == e["docs"][p:p + cnt]
+            assert lasts[b] == bdocs[-1]
+            tend = (toffs[b + 1] if b + 1 < len(toffs)
+                    else len(row["tf_blob"]))
+            btfs = vbyte.decode(row["tf_blob"][toffs[b]:tend], count=cnt)
+            assert btfs.tolist() == e["tfs"][p:p + cnt]
+            assert maxtf[b] == max(e["tfs"][p:p + cnt])
+            assert maxw[b] == pytest.approx(int(wq[p:p + cnt].max())
+                                            / WDT_QUANT)
+            base = bdocs[-1]
+            p += cnt
+        # coalescing bound: each merged block owns a distinct
+        # floor(cum_postings / skip_block) value, so the skip table is
+        # never LARGER than a perfectly regular one ...
+        assert len(counts) <= -(-df // skip_block)
+        # ... and no block exceeds 2x skip_block (map-side blocks are
+        # capped at skip_block; a group spans at most one boundary)
+        assert all(1 <= c < 2 * skip_block for c in counts)
+
+
+def test_fragment_first_gap_rewrite_lengths(tmp_path):
+    """Fragments whose leading absolute doc id encodes WIDER than its
+    rewritten gap (3-byte absolute vs 1-byte gap) must still slice-decode
+    at every skip offset — exercises the delta shift in skip_offset."""
+    cfg = IndexBuildConfig(num_buckets=2, skip_block=2)
+    gk = _gkey(0, 1, 0, 2)
+    f1 = [(gk, "alpha", d, 1, 8.0, b"\x01") for d in (100000, 100001,
+                                                      100002)]
+    f2 = [(gk, "alpha", d, 2, 8.0, b"\x02") for d in (100003, 100005)]
+    tables = [_encode_file(cfg, f1)[0], _encode_file(cfg, f2)[0]]
+    seg, _ = _finalize(cfg, tables, tmp_path)
+    row = {c: seg.column(c)[0].as_py() for c in seg.column_names}
+    assert row["df"] == 5
+    docs = _decode_docs(row["blob"], 5)
+    assert docs.tolist() == [100000, 100001, 100002, 100003, 100005]
+    # decode each block independently from its offset
+    base = 0
+    p = 0
+    for b, cnt in enumerate(row["skip_count"]):
+        end = (row["skip_offset"][b + 1]
+               if b + 1 < len(row["skip_offset"]) else len(row["blob"]))
+        gaps = vbyte.decode(row["blob"][row["skip_offset"][b]:end],
+                            count=cnt)
+        bdocs = base + np.cumsum(gaps.astype(np.int64))
+        assert bdocs.tolist() == docs[p:p + cnt].tolist()
+        base = int(bdocs[-1])
+        p += cnt
+
+
+def test_fragment_salted_term_stays_split(tmp_path):
+    """A salted heavy term lands in one segment row PER SALT — fragments
+    never merge across gkeys."""
+    cfg = IndexBuildConfig(num_buckets=4, skip_block=4)
+    rows = (
+        [(_gkey(0, 3, 0, 4), "hot", d, 1, 6.0, b"p") for d in range(10)]
+        + [(_gkey(0, 3, 1, 4), "hot", d, 1, 6.0, b"p")
+           for d in range(10, 20)]
+    )
+    seg, _ = _finalize(cfg, [_encode_file(cfg, rows)[0]], tmp_path)
+    assert seg.num_rows == 2
+    salts = sorted(seg.column("salt").to_pylist())
+    assert salts == [0, 1]
+    for i in range(2):
+        row = {c: seg.column(c)[i].as_py() for c in seg.column_names}
+        docs = _decode_docs(row["blob"], row["df"])
+        lo = 0 if row["salt"] == 0 else 10
+        assert docs.tolist() == list(range(lo, lo + 10))
+
+
+def test_reducer_of_vec_matches_scalar():
+    gkeys = np.array([0, 1, 5, 4096, 123456789, 2**40 + 17], dtype=np.int64)
+    for p in (1, 8, 32, 37):
+        vec = _reducer_of_vec(gkeys, p)
+        for g, r in zip(gkeys.tolist(), vec.tolist()):
+            assert r == _reducer_of(g, p)
+
+
+def test_tf_wide_values_roundtrip(tmp_path):
+    """tftds >= 128 force the VByte (non-plain-byte) tf stream on the map
+    side; merged stream must still decode per block."""
+    cfg = IndexBuildConfig(num_buckets=2, skip_block=2)
+    gk = _gkey(0, 0, 0, 2)
+    f1 = [(gk, "big", d, 100 + 40 * d, 9.0, b"x") for d in range(3)]
+    f2 = [(gk, "big", d, 300, 9.0, b"x") for d in range(3, 5)]
+    seg, _ = _finalize(
+        cfg, [_encode_file(cfg, f1)[0], _encode_file(cfg, f2)[0]], tmp_path)
+    row = {c: seg.column(c)[0].as_py() for c in seg.column_names}
+    tfs = vbyte.decode(row["tf_blob"], count=row["df"]).tolist()
+    assert tfs == [100, 140, 180, 300, 300]
+    p = 0
+    for b, cnt in enumerate(row["skip_count"]):
+        tend = (row["skip_tf_offset"][b + 1]
+                if b + 1 < len(row["skip_tf_offset"])
+                else len(row["tf_blob"]))
+        btfs = vbyte.decode(
+            row["tf_blob"][row["skip_tf_offset"][b]:tend], count=cnt)
+        assert btfs.tolist() == tfs[p:p + cnt]
+        assert row["skip_max_tftd"][b] == max(tfs[p:p + cnt])
+        p += cnt
