@@ -584,7 +584,30 @@ def run_default() -> dict:
     return best
 
 
+_USAGE = """\
+usage: bench.py [--scaling | --probe]
+  (no args)   gated default bench over $GRAFT_SF_DIR at $RAY_GRAFT_CPUS;
+              prints one JSON line (the driver's BENCH_r{N} record)
+  --scaling   index build at N and 4N CPUs (GRAFT_SCALING_CPUS) in fresh
+              processes over GRAFT_SCALING_SIZES synthetic corpora;
+              prints efficiency + per-rep probe evidence as JSON
+  --probe     host-weather check only: cpu_probe + mem_probe JSON
+"""
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] in ("--help", "-h"):
+        print(_USAGE, end="")
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--probe":
+        print(json.dumps({"cpu": cpu_probe(), "mem": mem_probe()}))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] not in ("--_single-build",
+                                                 "--scaling"):
+        # an unrecognised flag must NOT silently fall through to the
+        # full default bench (it spins up a 32-CPU Ray session)
+        print(_USAGE, end="", file=sys.stderr)
+        sys.exit(2)
     if len(sys.argv) > 1 and sys.argv[1] == "--_single-build":
         n = int(sys.argv[2])
         n_docs = int(sys.argv[3]) if len(sys.argv) > 3 else None
