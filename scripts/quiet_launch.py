@@ -1,0 +1,76 @@
+"""Launch a command only once the host bus is actually quiet.
+
+The per-rep gate in ``bench.py --scaling`` waits at most
+GRAFT_QUIET_ATTEMPTS x GRAFT_QUIET_WAIT_S (default ~2.7 min) before
+running anyway, marked contended — the right behavior for the driver's
+bounded wall-clock, but during this host's multi-hour co-tenant storms
+it just records weather-poisoned reps (see BASELINE.md runs 13/17/18).
+When a HUMAN-in-the-loop session decides when to spend a scaling run,
+the cheap thing is to not start one mid-storm at all: this wrapper
+polls the same Ray-free ``bw_probe`` on a long period and execs the
+command only after ``--consecutive`` quiet probes in a row (one quiet
+probe can be the eye of an oscillating storm — see the run-17
+post-mortem).
+
+Usage:
+    python scripts/quiet_launch.py [--gbps 6.0] [--period 120]
+        [--consecutive 2] [--max-wait 7200] -- <command...>
+
+Exits 3 if the bus never goes quiet within --max-wait (the command is
+NOT run), so callers can distinguish "ran" from "gave up".
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import bw_probe  # noqa: E402  (Ray-free memcpy probe)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gbps", type=float, default=6.0,
+                    help="aggregate bw_probe threshold (default 6.0 — "
+                         "stricter than the in-run gate's 5.0)")
+    ap.add_argument("--period", type=float, default=120.0,
+                    help="seconds between probes while waiting")
+    ap.add_argument("--consecutive", type=int, default=2,
+                    help="quiet probes in a row required before launch")
+    ap.add_argument("--max-wait", type=float, default=7200.0,
+                    help="give up (exit 3) after this many seconds")
+    ap.add_argument("cmd", nargs=argparse.REMAINDER,
+                    help="command to run (prefix with --)")
+    args = ap.parse_args()
+    cmd = args.cmd[1:] if args.cmd[:1] == ["--"] else args.cmd
+    if not cmd:
+        ap.error("no command given")
+
+    t0 = time.time()
+    streak = 0
+    while True:
+        g = bw_probe()
+        quiet = g >= args.gbps
+        streak = streak + 1 if quiet else 0
+        print(f"[quiet-launch] bw={g:.2f} GB/s "
+              f"({'quiet' if quiet else 'contended'}, streak "
+              f"{streak}/{args.consecutive})", file=sys.stderr, flush=True)
+        if streak >= args.consecutive:
+            break
+        if time.time() - t0 > args.max_wait:
+            print("[quiet-launch] gave up: bus never went quiet",
+                  file=sys.stderr)
+            return 3
+        time.sleep(args.period)
+    print(f"[quiet-launch] launching after {time.time() - t0:.0f}s: "
+          f"{' '.join(cmd)}", file=sys.stderr, flush=True)
+    return subprocess.call(cmd)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
