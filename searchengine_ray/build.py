@@ -839,7 +839,16 @@ def _finalize_segment(
     skip_n = cfg.skip_block
     B = cfg.num_buckets
     _pt = time.perf_counter()
-    T = pa.concat_tables(tables).combine_chunks()
+    try:
+        T = pa.concat_tables(tables).combine_chunks()
+    except pa.ArrowInvalid as e:
+        # binary columns overflow int32 offsets at ~2 GB per partition —
+        # surface the scale dial instead of Arrow's bare offset error
+        raise ValueError(
+            "reduce partition's fragment payload exceeds the 2 GB "
+            "binary-offset range; raise num_reducers so partitions stay "
+            f"smaller ({e})"
+        ) from e
     n = T.num_rows
     gk = T.column("gkey").chunk(0).to_numpy()
     denc = T.column("term").chunk(0).dictionary_encode()
