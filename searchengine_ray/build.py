@@ -11,11 +11,15 @@ Ray-Data-native rebuild:
     -> assign_doc_ids (one explicit global decision, ids.py)
     -> map_batches(TokenizeDocs actor pool)          # SPIMI block ≙ Ray block
          emits per-doc rows: doc stats + per-term (tftd, VByte pos blob)
-    -> write docterms/ (resumable intermediate, columnar, format v2)
-  docterms -> doc stats parquet + corpus scalars (pruned-column re-read)
+    -> explode + group by (bucket, term, doc) per block (docterms v3)
+         -> write docterms/  (exploded postings, resumable intermediate)
+         -> side-write docstats/ (per-doc title/doc_length/l_d/sha256,
+            incl. zero-term docs; doc-range file names, idempotent)
+  docstats -> doc stats parquet + corpus scalars (tiny per-doc files)
   docterms -> heavy-hitter df detection (per-block partial counts -> tiny
               groupby-sum; the combiner-before-shuffle pattern)
-  docterms -> explode to (term, doc_id, tftd, pos_blob) with keys
+  docterms -> exchange maps derive keys (NO sort, NO gather — runs are
+              already contiguous on disk):
               shard   = doc_id // docs_per_shard      (bounds posting lists)
               bucket  = crc32(term) % num_buckets     (merge shuffle key)
               salt    = contiguous doc-range split for heavy terms
@@ -248,62 +252,157 @@ def _encode_positions_nested(out_positions: list) -> pa.ListArray:
 _BUCKET_CACHES: dict[int, dict] = {}
 
 
-def _explode_arrays(
-    cfg: IndexBuildConfig, heavy: dict[str, int], batch: pa.Table
-) -> dict | None:
-    """docterms table -> flat per-(doc, term) arrays for the exchange.
+def _bucket_of_uniq(uniq: np.ndarray, num_buckets: int) -> np.ndarray:
+    """crc32 % B per DISTINCT term, memoized per worker process (with a
+    realistic vocab every block repeats most terms; recomputing per block
+    cost ~0.5 s/file at 20k distinct terms, measured)."""
+    cache = _BUCKET_CACHES.setdefault(num_buckets, {})
+    out = np.empty(len(uniq), dtype=np.int64)
+    for i, t in enumerate(uniq):
+        b = cache.get(t)
+        if b is None:
+            b = cache[t] = zlib.crc32(t.encode("utf-8")) % num_buckets
+        out[i] = b
+    return out
 
-    Positions arrive ALREADY VByte-encoded per row (docterms format v2:
-    the tokenize stage encodes gaps, first absolute) — the encode-early
-    SPIMI move taken one stage earlier: the embarrassingly-parallel
-    tokenize stage pays the encode once, docterms stores ~4x fewer
-    position bytes than raw int32 lists, and both the exchange read and
-    the shuffle ship final on-disk bytes that reducers concatenate by
-    slice.  Term hashing and lexicographic ranks are computed once per
-    *distinct* term via dictionary codes — which come straight from the
-    parquet dictionary pages when the caller read with
-    ``read_dictionary`` (no per-term re-hash of the flat string column;
-    that hash was 3/4 of map CPU at the 1M-doc scale).
-    """
-    B = cfg.num_buckets
-    dps = cfg.docs_per_shard
 
-    terms_col = _as_array(batch.column("terms"))
-    tftds_col = _as_array(batch.column("tftds"))
-    pos_col = _as_array(batch.column("pos_blob"))
+# Docterms v3 on-disk postings layout: one row per (doc, term), grouped
+# by (bucket, term) with doc ids ascending inside each group.  ``term``
+# is dictionary-encoded (parquet dictionary pages -> exchange maps read
+# codes, never flat strings); ``bucket`` is redundant with crc32(term)
+# but RLE-compresses to ~nothing in this order and saves the map a hash
+# pass; ``doc_length`` rides per posting so the map computes BM25 wdt
+# bounds without a per-doc join.
+_POSTINGS_SCHEMA = pa.schema(
+    [
+        ("term", pa.dictionary(pa.int32(), pa.string())),
+        ("bucket", pa.int32()),
+        ("doc_id", pa.int64()),
+        ("doc_length", pa.int32()),
+        ("tftd", pa.int32()),
+        ("pos_blob", pa.binary()),
+    ]
+)
 
-    lens = pa.compute.list_value_length(terms_col).to_numpy(zero_copy_only=False)
-    doc_ids = np.repeat(
-        _as_array(batch.column("doc_id")).to_numpy(zero_copy_only=False), lens
-    )
-    dls = np.repeat(
-        _as_array(batch.column("doc_length")).to_numpy(zero_copy_only=False),
-        lens,
-    )
+_DOCSTATS_COLS = ["doc_id", "title", "doc_length", "l_d", "sha256"]
+
+
+def _group_postings_batch(
+    cfg: IndexBuildConfig, tok: pa.Table
+) -> tuple[pa.Table, pa.Table]:
+    """One tokenized block (v2-shaped per-doc rows) -> (exploded postings
+    grouped by (bucket, term, doc), per-doc docstats rows).
+
+    Correctness of the grouping contract (what the exchange relies on):
+    the stable sort keeps doc ids ascending inside each (bucket, term)
+    group, and both shard (= doc // docs_per_shard) and heavy-term salt
+    (= floor(rel * width / dps), width fixed per term) are non-decreasing
+    in doc — so every (gkey, term) run the map derives later is a
+    CONTIGUOUS slice of the file with ascending docs, with no sort and
+    no gather on the exchange side."""
+    docstats = tok.select(_DOCSTATS_COLS)
+    terms_col = _as_array(tok.column("terms"))
+    doc_np = _as_array(tok.column("doc_id")).to_numpy(zero_copy_only=False)
+    if doc_np.size > 1 and np.any(np.diff(doc_np) < 0):
+        raise ValueError(
+            "tokenize batch doc_ids must be ascending (dense ids from "
+            "ids.assign_doc_ids); got an out-of-order block"
+        )
+    lens = pa.compute.list_value_length(terms_col).to_numpy(
+        zero_copy_only=False)
     flat_terms = terms_col.flatten()
     if len(flat_terms) == 0:
-        return None
-    flat_tftds = tftds_col.flatten()
-    pos_blob = pos_col.flatten()  # binary VByte blob per (doc, term)
-
+        return _POSTINGS_SCHEMA.empty_table(), docstats
+    doc_ids = np.repeat(doc_np, lens)
+    dls = np.repeat(
+        _as_array(tok.column("doc_length")).to_numpy(zero_copy_only=False),
+        lens,
+    )
+    tftds = _as_array(tok.column("tftds")).flatten().to_numpy(
+        zero_copy_only=False)
+    pos_blob = _as_array(tok.column("pos_blob")).flatten()
     if isinstance(flat_terms, pa.DictionaryArray):
         dic = flat_terms
     else:
         dic = flat_terms.dictionary_encode()
     codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     uniq = np.asarray(dic.dictionary.to_pylist(), dtype=object)
-    # crc32 per distinct term, memoized across files in this worker
-    # process: with a realistic vocab every file repeats most terms, and
-    # recomputing per file cost ~0.5 s/file at 20k distinct terms
-    cache = _BUCKET_CACHES.setdefault(B, {})
-    uniq_buckets = np.empty(len(uniq), dtype=np.int64)
-    for i, t in enumerate(uniq):
-        b = cache.get(t)
-        if b is None:
-            b = cache[t] = zlib.crc32(t.encode("utf-8")) % B
-        uniq_buckets[i] = b
+    uniq_buckets = _bucket_of_uniq(uniq, cfg.num_buckets)
+    # single packed key, stable: (bucket, term-code) groups with the
+    # original (ascending-doc) order preserved inside each group
+    order = np.argsort(uniq_buckets[codes] * len(uniq) + codes,
+                       kind="stable")
+    codes_s = codes[order]
+    postings = pa.table(
+        {
+            "term": pa.DictionaryArray.from_arrays(
+                pa.array(codes_s.astype(np.int32)), dic.dictionary),
+            "bucket": pa.array(uniq_buckets[codes_s].astype(np.int32)),
+            "doc_id": pa.array(doc_ids[order], type=pa.int64()),
+            "doc_length": pa.array(dls[order].astype(np.int32)),
+            "tftd": pa.array(tftds[order].astype(np.int32)),
+            "pos_blob": pos_blob.take(pa.array(order)),
+        },
+        schema=_POSTINGS_SCHEMA,
+    )
+    return postings, docstats
 
-    buckets = uniq_buckets[codes]
+
+def _write_docstats_block(docstats_dir: str, tbl: pa.Table) -> None:
+    """Side-write one block's per-doc stats.  The file name is the block's
+    doc-id range (blocks cover disjoint dense ranges), so a retried task
+    rewrites the SAME file via tmp + atomic rename — idempotent under Ray
+    task retries."""
+    if tbl.num_rows == 0:
+        return
+    import uuid
+
+    ids = tbl.column("doc_id")
+    lo = pa.compute.min(ids).as_py()
+    hi = pa.compute.max(ids).as_py()
+    name = f"docstats_{lo:012d}_{hi:012d}.parquet"
+    os.makedirs(docstats_dir, exist_ok=True)
+    tmp = os.path.join(docstats_dir, f".{name}.{uuid.uuid4().hex}.tmp")
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, os.path.join(docstats_dir, name))
+
+
+def _explode_arrays(
+    cfg: IndexBuildConfig, heavy: dict[str, int], batch: pa.Table
+) -> dict | None:
+    """docterms v3 postings table -> flat per-(doc, term) arrays for the
+    exchange, IN FILE ORDER (already grouped by (bucket, term, doc) at
+    tokenize time — see ``_group_postings_batch``): no sort, no gather.
+
+    Positions arrive ALREADY VByte-encoded per row (since v2) and now
+    already fragment-contiguous (v3), so the map slices final on-disk
+    bytes straight off the parquet buffers.  Term identity comes from
+    dictionary codes (parquet dictionary pages via ``read_dictionary``
+    — no per-term re-hash of a flat string column), and the bucket rides
+    as an RLE-compressed column, so the only per-posting compute left is
+    shard/salt arithmetic and the wdt-bound quantization."""
+    B = cfg.num_buckets
+    dps = cfg.docs_per_shard
+
+    term_col = batch.column("term")
+    if isinstance(term_col, pa.ChunkedArray):
+        term_col = term_col.combine_chunks()  # unifies chunk dictionaries
+    if not isinstance(term_col, pa.DictionaryArray):
+        term_col = term_col.dictionary_encode()
+    if len(term_col) == 0:
+        return None
+    codes = term_col.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniq = np.asarray(term_col.dictionary.to_pylist(), dtype=object)
+
+    doc_ids = _as_array(batch.column("doc_id")).to_numpy(
+        zero_copy_only=False)
+    dls = _as_array(batch.column("doc_length")).to_numpy(
+        zero_copy_only=False)
+    tftds = _as_array(batch.column("tftd")).to_numpy(zero_copy_only=False)
+    pos_blob = _as_array(batch.column("pos_blob"))
+    buckets = _as_array(batch.column("bucket")).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+
     shards = doc_ids // dps
     salts = np.zeros(codes.size, dtype=np.int64)
     if heavy:
@@ -316,14 +415,11 @@ def _explode_arrays(
     gkey = (shards * B + buckets) * SALT_WIDTH + salts
 
     return {
-        "terms": flat_terms,
         "codes": codes,
         "uniq": uniq,
         "doc_ids": doc_ids,
         "dls": dls,
-        # stays int32 (the docterms list dtype): every consumer either
-        # promotes to float (wdt) or ships int32 (exchange rows)
-        "tftds": flat_tftds.to_numpy(zero_copy_only=False),
+        "tftds": tftds,
         "pos_blob": pos_blob,
         "gkey": gkey,
     }
@@ -395,7 +491,14 @@ SEGMENT_FORMAT = 4
 # gap blobs (list<binary> pos_blob) encoded in the tokenize stage, not raw
 # list<list<int32>> encoded in the exchange maps — the encode runs in the
 # embarrassingly-parallel stage and docterms shrinks ~4x on positions.
-DOCTERMS_FORMAT = 2
+# v3: postings land on disk EXPLODED and PRE-GROUPED by (bucket, term,
+# doc) — the tokenize stage pays the one unavoidable gather of the
+# position payload, so the exchange maps slice fragments straight off the
+# parquet buffers with no argsort and no take (the sort+gather was 60% of
+# map CPU, measured, in the ONE stage that doesn't scale on a shared
+# bus); per-doc metadata (title, doc_length, l_d, sha256 — including
+# zero-term docs) moves to a small sibling ``docstats/`` directory.
+DOCTERMS_FORMAT = 3
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -492,15 +595,16 @@ def _map_runs(
     ~posting-row-sized bytes.
     """
     _pin_arrow_threads()
-    prof = {"read": 0.0, "explode": 0.0, "sort": 0.0, "pack": 0.0,
+    prof = {"read": 0.0, "explode": 0.0, "pack": 0.0,
             "bytes_out": 0, "t0": time.time()}
     out: list[list[bytes]] = [[] for _ in range(num_reducers)]
     for path in paths:
         t = time.perf_counter()
         tbl = pq.read_table(
             path,
-            columns=["doc_id", "doc_length", "terms", "tftds", "pos_blob"],
-            read_dictionary=["terms.list.element"],
+            columns=["term", "bucket", "doc_id", "doc_length", "tftd",
+                     "pos_blob"],
+            read_dictionary=["term"],
         )
         prof["read"] += time.perf_counter() - t
         t = time.perf_counter()
@@ -508,33 +612,19 @@ def _map_runs(
         prof["explode"] += time.perf_counter() - t
         if arrs is None:
             continue
-        # sort by (gkey, term-code): term-grouped runs let each piece
-        # carry every term ONCE with a run length, instead of one string
-        # per (doc, term) row — the dominant remaining shuffle bytes
+        # docterms v3: rows arrive grouped by (bucket, term, doc) from the
+        # tokenize stage, and shard/salt are non-decreasing in doc within
+        # each group — every (gkey, term) run is ALREADY a contiguous
+        # ascending-doc slice.  The sort+gather the v2 map did here (60%
+        # of map CPU, measured) is gone.
         t = time.perf_counter()
-        # pack (gkey, code) into one int64 when it fits: a single-key
-        # argsort makes one pass over the keys where lexsort makes two —
-        # real savings on a memory-bandwidth-starved host
-        n_uniq = len(arrs["uniq"])
-        gk_max = int(arrs["gkey"].max()) if arrs["gkey"].size else 0
-        if n_uniq and (gk_max + 1) < (1 << 62) // n_uniq:
-            packed = arrs["gkey"] * n_uniq + arrs["codes"]
-            order = np.argsort(packed, kind="stable")
-        else:
-            order = np.lexsort((arrs["codes"], arrs["gkey"]))
-        gk = arrs["gkey"][order]
-        codes_s = arrs["codes"][order]
-        pos_s = arrs["pos_blob"].take(pa.array(order))
-        doc_s = arrs["doc_ids"][order]
-        wq_s = wdt_quantized(arrs["tftds"], arrs["dls"], avgdl)[order]
-        tf_s = arrs["tftds"][order]
+        gk = arrs["gkey"]
+        codes_s = arrs["codes"]
+        pos_s = arrs["pos_blob"]
+        doc_s = arrs["doc_ids"]
+        wq_s = wdt_quantized(arrs["tftds"], arrs["dls"], avgdl)
+        tf_s = arrs["tftds"]
         uniq = arrs["uniq"]
-        new = np.ones(gk.size, dtype=bool)
-        new[1:] = gk[1:] != gk[:-1]
-        starts = np.flatnonzero(new)
-        ends = np.append(starts[1:], gk.size)
-        prof["sort"] += time.perf_counter() - t
-        t = time.perf_counter()
         # encode + pack per file (not per task) so each file's exploded
         # arrays can be freed before the next file is read — slices keep
         # their parent buffers alive, and holding a whole file group's
@@ -621,9 +711,12 @@ def _encode_file_fragments(
     """One docterms file's sorted postings -> a ``_WIRE_SCHEMA`` fragment
     table, one row per (gkey, term) run, fully VByte-encoded.
 
-    Inputs are the file's exploded posting arrays sorted stably by
-    (gkey, term-code) — stable, so doc ids stay ascending inside each
-    run, and a run never spans gkeys.  ONE global VByte encode + cumsum
+    Inputs are the file's posting arrays with every (gkey, term) run
+    CONTIGUOUS and doc ids ascending inside each run (docterms v3 files
+    are written this way by the tokenize stage; the same run may appear
+    more than once per file after block coalescing — each occurrence
+    becomes its own fragment and the reducer merges them by first_doc).
+    ONE global VByte encode + cumsum
     covers every run; per-run blobs are zero-copy offset slices over the
     shared buffers (compacted later by the per-reducer ``take``).
     Returns (fragment table, per-row gkey array) for reducer routing.
@@ -641,7 +734,7 @@ def _encode_file_fragments(
 
     # doc gaps: absolute at run start, delta inside the run.  int32 when
     # every absolute doc id fits — halves encode-path memory traffic.
-    if int(doc[-1]) < (1 << 31):
+    if int(doc.max()) < (1 << 31):
         doc_n = doc.astype(np.int32, copy=False)
     else:
         doc_n = doc
@@ -1285,10 +1378,9 @@ def _heavy_partial_counts(files: list[str]) -> tuple[pa.Table | None, int]:
     _pin_arrow_threads()
     parts = []
     for f in files:
-        tbl = pq.read_table(f, columns=["terms"],
-                            read_dictionary=["terms.list.element"])
-        for chunk in tbl.column("terms").chunks:
-            flat = chunk.flatten()
+        tbl = pq.read_table(f, columns=["term"], read_dictionary=["term"])
+        for chunk in tbl.column("term").chunks:
+            flat = chunk
             if not isinstance(flat, pa.DictionaryArray):
                 flat = flat.dictionary_encode()
             codes = flat.indices.to_numpy(zero_copy_only=False)
@@ -1431,6 +1523,7 @@ def build_index(
     stage_seconds: dict[str, float] = {}
 
     docterms_dir = os.path.join(index_dir, "docterms")
+    docstats_dir = os.path.join(index_dir, "docstats")
     segments_dir = os.path.join(index_dir, "segments")
 
     # ---- stage 1: tokenize -> docterms ----
@@ -1460,26 +1553,39 @@ def build_index(
         import shutil
 
         shutil.rmtree(docterms_dir, ignore_errors=True)
+        shutil.rmtree(docstats_dir, ignore_errors=True)
         tokenizer = TokenizeDocs(cfg)  # plain-task stage; cache resolves
         # per worker process via _worker_cache (state without actor pools)
+
+        def _group_and_sidewrite(batch: pa.Table, _cfg=cfg,
+                                 _dir=docstats_dir) -> pa.Table:
+            postings, docstats = _group_postings_batch(_cfg, batch)
+            _write_docstats_block(_dir, docstats)
+            return postings
+
         corpus.map_batches(
             lambda batch, _t=tokenizer: _t(batch),
             batch_format="pyarrow",
             batch_size=cfg.tokenize_batch_size,
         ).map_batches(
-            # identity rebatch: coalesce the per-tokenize-batch blocks so
-            # parquet row groups are docterms_block_rows, not batch_size
-            lambda b: b,
+            # rebatch to docterms_block_rows DOCS, then explode + group
+            # each block by (bucket, term, doc) and side-write its per-doc
+            # stats (docterms v3): the one unavoidable gather of the
+            # position payload runs HERE, in the embarrassingly-parallel
+            # stage, never in the exchange
+            _group_and_sidewrite,
             batch_format="pyarrow",
             batch_size=cfg.docterms_block_rows,
         ).write_parquet(docterms_dir)
         stage_seconds["tokenize"] = time.perf_counter() - t0
         _commit_stage(
-            index_dir, "docterms", fingerprint, files=_dir_lineage(docterms_dir)
+            index_dir, "docterms", fingerprint,
+            files=_dir_lineage(docterms_dir),
+            docstats_files=_dir_lineage(docstats_dir),
         )
 
-    # doc stats are a pure column projection of docterms: served by parquet
-    # column pruning on the docterms files directly (no second pass/copy)
+    # per-doc stats (incl. zero-term docs) live in docstats/; postings in
+    # docterms/ are exploded and pre-grouped for the exchange
 
     # ---- stage 2: heavy-hitter detection + postings merge -> segments ----
     if not _stage_done(index_dir, "segments", fingerprint):
@@ -1487,7 +1593,7 @@ def build_index(
 
         # corpus scalars via a distributed pruned-column aggregate —
         # needed now so block-max BM25 wdt bounds go into the segments
-        n_docs, tot = corpus_scalars(docterms_dir)
+        n_docs, tot = corpus_scalars(docstats_dir)
         avgdl = (tot / n_docs) if n_docs else 1.0
 
         heavy = detect_heavy_terms(docterms_dir, cfg)
@@ -1521,7 +1627,7 @@ def build_index(
     num_docs = seg_marker.get("num_docs")
     total_tokens = seg_marker.get("total_tokens")
     if num_docs is None or total_tokens is None:
-        num_docs, total_tokens = corpus_scalars(docterms_dir)
+        num_docs, total_tokens = corpus_scalars(docstats_dir)
 
     with open(os.path.join(index_dir, "_STAGE_segments.json")) as f:
         heavy_terms = json.load(f).get("heavy_terms", {})
@@ -1539,8 +1645,8 @@ def build_index(
         "docs_per_shard": cfg.docs_per_shard,
         "heavy_terms": heavy_terms,
         "segments": seg_files,
-        "doc_stats_dir": "docterms",
-        "docstats_files": _dir_lineage(docterms_dir),
+        "doc_stats_dir": "docstats",
+        "docstats_files": _dir_lineage(docstats_dir),
         "build_seconds": time.perf_counter() - t0,
         "stage_seconds": {
             **{k: round(v, 3) for k, v in stage_seconds.items()},

@@ -133,12 +133,26 @@ def digest60_hex_prefix(arr: pa.Array) -> np.ndarray:
         return (nib << shifts[None, :]).sum(axis=1, dtype=_U64)
 
 
+def _doc_stats_dir(index_dir: str) -> str:
+    """Resolve the per-doc stats dir from the manifest (docterms v3 moved
+    the sha256/doc metadata to ``docstats/``; older manifests say
+    ``docterms``)."""
+    import json
+
+    try:
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            sub = json.load(f).get("doc_stats_dir", "docstats")
+    except (OSError, ValueError):
+        sub = "docstats"
+    return os.path.join(index_dir, sub)
+
+
 def index_checksum60(index_dir: str) -> pa.Table:
     """One-row (n_docs, sum60, xor60) table over the index's stored
     (doc_id, sha256) — the SQL-oracle-comparable form of
     :func:`index_checksum`.  sum is mod 2^60; all values BIGINT-safe."""
-    docterms = os.path.join(index_dir, "docterms")
-    ds = ray.data.read_parquet(docterms, columns=["doc_id", "sha256"])
+    docstats = _doc_stats_dir(index_dir)
+    ds = ray.data.read_parquet(docstats, columns=["doc_id", "sha256"])
 
     def partial(batch: pa.Table) -> pa.Table:
         w = digest60_hex_prefix(batch.column("sha256"))
@@ -206,10 +220,10 @@ def corpus_checksum(
 
 
 def index_checksum(index_dir: str, check_ids: bool = False) -> dict:
-    """Multiset checksum of the stored per-doc sha256 column (docterms)."""
-    docterms = os.path.join(index_dir, "docterms")
+    """Multiset checksum of the stored per-doc sha256 column (docstats)."""
+    docstats = _doc_stats_dir(index_dir)
     cols = ["sha256"] + (["doc_id"] if check_ids else [])
-    ds = ray.data.read_parquet(docterms, columns=cols)
+    ds = ray.data.read_parquet(docstats, columns=cols)
 
     def partial(batch: pa.Table) -> pa.Table:
         w = digest64_from_hex(batch.column("sha256"))

@@ -108,7 +108,7 @@ class TestBuildArtifacts:
     def test_sha256_invariant(self, built_index, small_corpus):
         index_dir, _ = built_index
         stats = pq.read_table(
-            os.path.join(index_dir, "docterms"), columns=["doc_id", "sha256"]
+            os.path.join(index_dir, "docstats"), columns=["doc_id", "sha256"]
         ).to_pylist()
         rows = small_corpus.to_pylist()
         rows.sort(key=lambda r: (r["repo"], r["path"], r["commit"]))
@@ -341,7 +341,7 @@ class TestCorpusScalars:
         from searchengine_ray.build import corpus_scalars
 
         index_dir, manifest = built_index
-        n, tot = corpus_scalars(os.path.join(index_dir, "docterms"))
+        n, tot = corpus_scalars(os.path.join(index_dir, "docstats"))
         assert n == manifest["num_docs"]
         assert tot == manifest["total_tokens"]
 
