@@ -267,3 +267,75 @@ def test_tf_wide_values_roundtrip(tmp_path):
         assert btfs.tolist() == tfs[p:p + cnt]
         assert row["skip_max_tftd"][b] == max(tfs[p:p + cnt])
         p += cnt
+
+
+def _tok_table(doc_ids, terms_per_doc):
+    """Minimal v2-shaped tokenized table (what _group_postings_batch
+    consumes): per-doc rows with list columns."""
+    n = len(doc_ids)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "title": pa.array([f"t{d}" for d in doc_ids]),
+            "doc_length": pa.array([len(t) for t in terms_per_doc],
+                                   type=pa.int64()),
+            "l_d": pa.array([1.0] * n),
+            "sha256": pa.array(["0" * 64] * n),
+            "terms": pa.array(terms_per_doc, type=pa.list_(pa.string())),
+            "tftds": pa.array([[1] * len(t) for t in terms_per_doc],
+                              type=pa.list_(pa.int32())),
+            "pos_blob": pa.array([[b"\x01"] * len(t)
+                                  for t in terms_per_doc],
+                                 type=pa.list_(pa.binary())),
+        }
+    )
+
+
+def test_group_postings_interleaved_blocks_stay_disjoint():
+    """An out-of-order rebatched block (streaming executor interleaving,
+    docterms v3) must split at dense-doc seams: every (bucket, term) run
+    in the output has strictly ascending docs, and same-term runs cover
+    disjoint doc ranges — the invariant _finalize_segment's seam gap
+    rewrite relies on."""
+    from searchengine_ray.build import IndexBuildConfig, _group_postings_batch
+
+    cfg = IndexBuildConfig(num_buckets=2)
+    # blocks [0..3], [8..11], [4..7] interleaved into one batch, with a
+    # term 'x' present in every doc and block-local terms sprinkled in
+    docs = list(range(0, 4)) + list(range(8, 12)) + list(range(4, 8))
+    terms = [["x", f"blk{d // 4}"] for d in docs]
+    postings, docstats = _group_postings_batch(cfg, _tok_table(docs, terms))
+    assert docstats.num_rows == len(docs)
+    assert postings.num_rows == sum(len(t) for t in terms)
+    term_col = postings.column("term").to_pylist()
+    doc_col = postings.column("doc_id").to_pylist()
+    # collect runs: maximal stretches of one term
+    runs = []
+    for t, d in zip(term_col, doc_col):
+        if runs and runs[-1][0] == t:
+            runs[-1][1].append(d)
+        else:
+            runs.append((t, [d]))
+    ranges: dict[str, list[tuple[int, int]]] = {}
+    for t, ds in runs:
+        assert ds == sorted(ds), f"run of {t!r} not ascending: {ds}"
+        ranges.setdefault(t, []).append((min(ds), max(ds)))
+    for t, rs in ranges.items():
+        rs = sorted(rs)
+        for (alo, ahi), (blo, bhi) in zip(rs, rs[1:]):
+            assert ahi < blo, f"overlapping runs for {t!r}: {rs}"
+    # 'x' spans all three segments -> exactly 3 disjoint runs
+    assert len(ranges["x"]) == 3
+
+
+def test_finalize_rejects_overlapping_fragments(tmp_path):
+    """The reducer backstop: overlapping doc ranges for one term must
+    raise, never silently encode a non-positive seam gap."""
+    cfg = IndexBuildConfig(num_buckets=2, skip_block=4)
+    gk = _gkey(0, 0, 0, 2)
+    f1 = [(gk, "t", d, 1, 5.0, b"x") for d in (0, 5)]
+    f2 = [(gk, "t", d, 1, 5.0, b"x") for d in (3, 9)]  # overlaps f1
+    with pytest.raises(ValueError, match="overlapping doc ranges"):
+        _finalize(
+            cfg, [_encode_file(cfg, f1)[0], _encode_file(cfg, f2)[0]],
+            tmp_path)
