@@ -299,8 +299,11 @@ def _group_segment(cfg: IndexBuildConfig, tok: pa.Table) -> pa.Table:
         return _POSTINGS_SCHEMA.empty_table()
     doc_np = _as_array(tok.column("doc_id")).to_numpy(zero_copy_only=False)
     doc_ids = np.repeat(doc_np, lens)
+    # cast BEFORE the per-posting repeat: half the memory traffic of
+    # repeating int64 then casting 50x more values
     dls = np.repeat(
-        _as_array(tok.column("doc_length")).to_numpy(zero_copy_only=False),
+        _as_array(tok.column("doc_length")).to_numpy(
+            zero_copy_only=False).astype(np.int32),
         lens,
     )
     tftds = _as_array(tok.column("tftds")).flatten().to_numpy(
@@ -310,22 +313,31 @@ def _group_segment(cfg: IndexBuildConfig, tok: pa.Table) -> pa.Table:
         dic = flat_terms
     else:
         dic = flat_terms.dictionary_encode()
-    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    codes = dic.indices.to_numpy(zero_copy_only=False)
     uniq = np.asarray(dic.dictionary.to_pylist(), dtype=object)
     uniq_buckets = _bucket_of_uniq(uniq, cfg.num_buckets)
     # single packed key, stable: (bucket, term-code) groups with the
-    # original (ascending-doc) order preserved inside each group
-    order = np.argsort(uniq_buckets[codes] * len(uniq) + codes,
-                       kind="stable")
+    # original (ascending-doc) order preserved inside each group.  The
+    # key stays int32 when it fits (typical: vocab x buckets << 2^31) —
+    # a one-pass int32 argsort moves half the bytes of an int64 one.
+    V = len(uniq)
+    if V * cfg.num_buckets < (1 << 31):
+        key = uniq_buckets.astype(np.int32)[codes] * np.int32(V) \
+            + codes.astype(np.int32)
+    else:
+        key = uniq_buckets[codes] * np.int64(V) + codes.astype(np.int64)
+    order = np.argsort(key, kind="stable")
     codes_s = codes[order]
     return pa.table(
         {
             "term": pa.DictionaryArray.from_arrays(
-                pa.array(codes_s.astype(np.int32)), dic.dictionary),
-            "bucket": pa.array(uniq_buckets[codes_s].astype(np.int32)),
+                pa.array(codes_s.astype(np.int32, copy=False)),
+                dic.dictionary),
+            "bucket": pa.array(
+                uniq_buckets[codes_s].astype(np.int32, copy=False)),
             "doc_id": pa.array(doc_ids[order], type=pa.int64()),
-            "doc_length": pa.array(dls[order].astype(np.int32)),
-            "tftd": pa.array(tftds[order].astype(np.int32)),
+            "doc_length": pa.array(dls[order]),
+            "tftd": pa.array(tftds[order].astype(np.int32, copy=False)),
             "pos_blob": pos_blob.take(pa.array(order)),
         },
         schema=_POSTINGS_SCHEMA,
