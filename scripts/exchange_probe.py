@@ -67,7 +67,15 @@ def main() -> None:
     )
 
     cfg = IndexBuildConfig(num_buckets=buckets)
-    n_docs, tot = corpus_scalars(docterms_dir)
+    # prefer the sibling docstats dir (true per-doc rows, dense-unique
+    # checked); fall back to the docterms postings themselves, where
+    # doc ids repeat per term — good enough for a wdt-bound avgdl
+    docstats_dir = os.path.join(os.path.dirname(docterms_dir.rstrip("/")),
+                                "docstats")
+    if os.path.isdir(docstats_dir):
+        n_docs, tot = corpus_scalars(docstats_dir)
+    else:
+        n_docs, tot = corpus_scalars(docterms_dir, check_dense=False)
     avgdl = tot / max(1, n_docs)
     heavy = detect_heavy_terms(docterms_dir, cfg)
 

@@ -761,23 +761,43 @@ def _encode_file_fragments(
 
     skip_n = cfg.skip_block
     n = gk.size
-    new = np.empty(n, dtype=bool)
-    new[0] = True
-    new[1:] = (gk[1:] != gk[:-1]) | (codes[1:] != codes[:-1])
-    run_starts = np.flatnonzero(new)
-    run_ends = np.append(run_starts[1:], n)
-    n_frag = run_starts.size
-
     # doc gaps: absolute at run start, delta inside the run.  int32 when
     # every absolute doc id fits — halves encode-path memory traffic.
     if int(doc.max()) < (1 << 31):
         doc_n = doc.astype(np.int32, copy=False)
     else:
         doc_n = doc
+    new = np.empty(n, dtype=bool)
+    new[0] = True
+    # Break a run on (gkey, term) change AND on any non-ascending doc id:
+    # one docterms file can hold two dense segments whose group orders
+    # abut on the same (gkey, term) — e.g. segment A ends with term t and
+    # segment B starts with it.  Treating that as one run would delta-
+    # encode a non-positive seam gap, which _as_unsigned silently wraps
+    # into a huge doc id.  Splitting here keeps each segment's occurrence
+    # its own fragment; the reducer merges fragments by first_doc and its
+    # seam check guards the inter-fragment gaps.
+    new[1:] = (
+        (gk[1:] != gk[:-1])
+        | (codes[1:] != codes[:-1])
+        | (doc_n[1:] <= doc_n[:-1])
+    )
+    run_starts = np.flatnonzero(new)
+    run_ends = np.append(run_starts[1:], n)
+    n_frag = run_starts.size
+
     gap = np.empty(n, dtype=doc_n.dtype)
     gap[0] = 0
     np.subtract(doc_n[1:], doc_n[:-1], out=gap[1:])
     gap[run_starts] = doc_n[run_starts]
+    # By construction every intra-run gap is now > 0; keep a loud guard so
+    # any future refactor of the break condition fails here instead of
+    # VByte-encoding a wrapped unsigned value.
+    if n > 1 and int(gap[~new].min(initial=1)) <= 0:
+        raise ValueError(
+            "non-positive intra-run doc gap in docterms fragment encode; "
+            "run-break invariant violated"
+        )
     blen_d = vbyte.encoded_lengths(gap)
     dbyte_ends = np.cumsum(blen_d, dtype=np.int64)
     if int(dbyte_ends[-1]) >= 2**31 - 1:
@@ -1519,24 +1539,44 @@ def detect_heavy_terms(
 
 
 @ray.remote
-def _sum_doc_lengths(files: list[str]) -> tuple[int, int]:
-    """(rows, sum(doc_length)) over a group of docterms files — the
-    distributed corpus-scalar aggregate (one int64 column per file in
-    memory at a time, never the corpus)."""
+def _sum_doc_lengths(files: list[str],
+                     check_dense: bool) -> tuple[int, int, list]:
+    """(rows, sum(doc_length), per-file (min_doc, max_doc, rows,
+    n_unique)) over a group of docstats files — the distributed
+    corpus-scalar aggregate (at most two int64 columns per file in
+    memory at a time, never the corpus).  The per-file extrema feed the
+    driver-side dense-unique invariant check (skipped, and the doc_id
+    column left unread, when ``check_dense`` is off)."""
     _pin_arrow_threads()
     rows, tot = 0, 0
+    spans: list[tuple[int, int, int, int]] = []
+    cols = ["doc_length", "doc_id"] if check_dense else ["doc_length"]
     for f in files:
-        t = pq.read_table(f, columns=["doc_length"])
+        t = pq.read_table(f, columns=cols)
         rows += t.num_rows
         tot += int(pa.compute.sum(t.column("doc_length")).as_py() or 0)
-    return rows, tot
+        if check_dense and t.num_rows:
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            spans.append((int(ids.min()), int(ids.max()), t.num_rows,
+                          int(np.unique(ids).size)))
+    return rows, tot, spans
 
 
-def corpus_scalars(docterms_dir: str) -> tuple[int, int]:
+def corpus_scalars(docterms_dir: str,
+                   check_dense: bool = True) -> tuple[int, int]:
     """(num_docs, total_tokens) via a small remote tree: the driver holds
     O(tasks) partials, never an O(corpus) column (VERDICT r3 #4 — the old
     single-process ``pq.read_table(columns=["doc_length"])`` materialised
-    8 GB on the driver at 10^9 docs)."""
+    8 GB on the driver at 10^9 docs).
+
+    Also enforces the docstats dense-unique invariant (r4 advice):
+    ``_write_docstats_block``'s idempotency rests on doc-range filenames
+    being stable across lineage re-execution; if re-execution ever
+    composed batches differently, stale files with overlapping doc sets
+    would silently double-count docs here.  Each file must hold unique
+    doc ids, file doc ranges must be pairwise disjoint, and the union
+    must be dense 0..N-1 — anything else raises instead of producing a
+    wrong N / avgdl / checksum."""
     files = sorted(
         os.path.join(docterms_dir, f)
         for f in os.listdir(docterms_dir)
@@ -1547,8 +1587,34 @@ def corpus_scalars(docterms_dir: str) -> tuple[int, int]:
     cpus = int(ray.cluster_resources().get("CPU", 8))
     n_tasks = max(1, min(len(files), 2 * cpus))
     groups = [files[i::n_tasks] for i in range(n_tasks)]
-    parts = ray.get([_sum_doc_lengths.remote(g) for g in groups])
-    return sum(p[0] for p in parts), sum(p[1] for p in parts)
+    parts = ray.get(
+        [_sum_doc_lengths.remote(g, check_dense) for g in groups])
+    rows = sum(p[0] for p in parts)
+    tot = sum(p[1] for p in parts)
+    if not check_dense:
+        return rows, tot
+    spans = sorted(s for p in parts for s in p[2])
+    for lo, hi, n, n_uniq in spans:
+        if n_uniq != n:
+            raise ValueError(
+                f"docstats invariant broken: a file holds {n - n_uniq} "
+                f"duplicate doc ids in range [{lo}, {hi}] — stale "
+                "side-write from a lineage re-execution; rebuild the "
+                "docterms stage"
+            )
+    for (_, ahi, _, _), (blo, _, _, _) in zip(spans, spans[1:]):
+        if blo <= ahi:
+            raise ValueError(
+                "docstats invariant broken: two files cover overlapping "
+                f"doc ranges (..{ahi}] vs [{blo}..) — stale side-write "
+                "from a lineage re-execution; rebuild the docterms stage"
+            )
+    if spans and (spans[0][0] != 0 or spans[-1][1] != rows - 1):
+        raise ValueError(
+            f"docstats invariant broken: {rows} rows but doc ids span "
+            f"[{spans[0][0]}, {spans[-1][1]}] (expected dense 0..N-1)"
+        )
+    return rows, tot
 
 
 def build_index(

@@ -349,3 +349,52 @@ class TestCorpusScalars:
         from searchengine_ray.build import corpus_scalars
 
         assert corpus_scalars(str(tmp_path)) == (0, 0)
+
+    @staticmethod
+    def _write_docstats(d, name, doc_ids):
+        tbl = pa.table({
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "doc_length": pa.array([3] * len(doc_ids), type=pa.int64()),
+        })
+        pq.write_table(tbl, os.path.join(d, name))
+
+    def test_rejects_overlapping_stale_file(self, ray_session, tmp_path):
+        """r4 advice: a stale docstats side-write surviving a lineage
+        re-execution with a different batch composition must fail loudly
+        at the consume point, not silently double-count docs."""
+        from searchengine_ray.build import corpus_scalars
+
+        d = str(tmp_path)
+        self._write_docstats(d, "docstats_a.parquet", [0, 1, 2, 3])
+        self._write_docstats(d, "docstats_b.parquet", [4, 5, 6, 7])
+        assert corpus_scalars(d) == (8, 24)
+        # stale file overlapping [2..5] (re-execution rebatched)
+        self._write_docstats(d, "docstats_stale.parquet", [2, 3, 4, 5])
+        with pytest.raises(ValueError, match="overlapping doc ranges"):
+            corpus_scalars(d)
+
+    def test_rejects_duplicates_within_file(self, ray_session, tmp_path):
+        from searchengine_ray.build import corpus_scalars
+
+        d = str(tmp_path)
+        self._write_docstats(d, "docstats_a.parquet", [0, 1, 1, 2])
+        with pytest.raises(ValueError, match="duplicate doc ids"):
+            corpus_scalars(d)
+
+    def test_rejects_non_dense_ids(self, ray_session, tmp_path):
+        from searchengine_ray.build import corpus_scalars
+
+        d = str(tmp_path)
+        self._write_docstats(d, "docstats_a.parquet", [0, 1, 2])
+        self._write_docstats(d, "docstats_b.parquet", [5, 6])  # gap 3..4
+        with pytest.raises(ValueError, match="dense 0..N-1"):
+            corpus_scalars(d)
+
+    def test_check_dense_off_counts_raw_rows(self, ray_session, tmp_path):
+        """check_dense=False is the docterms-postings path (doc ids
+        repeat per term there by design) — must not read doc_id at all."""
+        from searchengine_ray.build import corpus_scalars
+
+        d = str(tmp_path)
+        self._write_docstats(d, "p.parquet", [7, 7, 9])
+        assert corpus_scalars(d, check_dense=False) == (3, 9)

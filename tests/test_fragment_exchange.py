@@ -339,3 +339,55 @@ def test_finalize_rejects_overlapping_fragments(tmp_path):
         _finalize(
             cfg, [_encode_file(cfg, f1)[0], _encode_file(cfg, f2)[0]],
             tmp_path)
+
+
+def test_abutting_segments_same_term_split_and_roundtrip(tmp_path):
+    """Regression (r4 advice, build.py run detector): one docterms file
+    holding two dense segments whose group orders abut on the same
+    (gkey, term) — segment A covers docs 8..11, segment B covers docs
+    4..7 and lands AFTER A in the file.  Pre-fix the encoder merged both
+    runs into one fragment and delta-encoded the negative seam gap as a
+    huge unsigned doc id with no error; the run detector must now break
+    on the non-ascending doc id so each segment's occurrence is its own
+    fragment, and the reducer merges them by first_doc."""
+    cfg = IndexBuildConfig(num_buckets=2, skip_block=4)
+    gk = _gkey(0, 1, 0, 2)
+    rows = (
+        [(gk, "alpha", d, 1 + d % 3, 8.0, bytes([d]))
+         for d in range(8, 12)]
+        + [(gk, "alpha", d, 1 + d % 3, 8.0, bytes([d]))
+           for d in range(4, 8)]
+    )
+    tbl, _ = _encode_file(cfg, rows)
+    # the same-(gkey, term) abutting runs stay separate fragments
+    assert tbl.num_rows == 2
+    assert tbl.column("first_doc").to_pylist() == [8, 4]
+    # every fragment's own doc stream must decode ascending and clean
+    for i, df in enumerate(tbl.column("df").to_pylist()):
+        frag_docs = _decode_docs(tbl.column("blob")[i].as_py(), df)
+        assert frag_docs.tolist() == sorted(frag_docs.tolist())
+        assert int(frag_docs.max()) < 1 << 32  # no unsigned wrap
+
+    seg, _ = _finalize(cfg, [tbl], tmp_path)
+    assert seg.num_rows == 1
+    df = seg.column("df")[0].as_py()
+    assert df == 8
+    docs = _decode_docs(seg.column("blob")[0].as_py(), df)
+    assert docs.tolist() == list(range(4, 12))
+    tfs = vbyte.decode(seg.column("tf_blob")[0].as_py(), count=df)
+    assert tfs.tolist() == [1 + d % 3 for d in range(4, 12)]
+    assert seg.column("pos_blob")[0].as_py() == bytes(range(4, 12))
+
+
+def test_equal_doc_id_runs_also_split(tmp_path):
+    """Duplicate (gkey, term, doc) occurrences (can only arise from a
+    broken upstream) must not silently zero-gap encode: the run detector
+    breaks on <=, and the reducer's seam check then rejects the overlap
+    loudly instead of emitting a corrupt list."""
+    cfg = IndexBuildConfig(num_buckets=2, skip_block=4)
+    gk = _gkey(0, 1, 0, 2)
+    rows = [(gk, "t", 7, 1, 5.0, b"a"), (gk, "t", 7, 2, 5.0, b"b")]
+    tbl, _ = _encode_file(cfg, rows)
+    assert tbl.num_rows == 2  # split, not one fragment with gap 0
+    with pytest.raises(ValueError, match="overlapping doc ranges"):
+        _finalize(cfg, [tbl], tmp_path)
