@@ -9,6 +9,9 @@ cpu_probe for why not 8/32 on this VM) in fresh subprocesses on the same
 input and report both throughputs + scaling efficiency — the sandbox
 evidence for the N->4N cluster criterion.  Every rep is gated on the
 quiet-window protocol (bw_probe / GRAFT_QUIET_*; BASELINE.md round 3).
+Headline "value" is the sub-saturation (300k-doc) corpus, where 4->16
+CPUs measures the code rather than this VM's one shared memory bus; the
+bus-saturated 1M-doc datapoint rides along in "sizes" (r4 #1b).
 """
 
 from __future__ import annotations
@@ -413,15 +416,20 @@ SCALING_CPUS = tuple(
     int(x) for x in os.environ.get("GRAFT_SCALING_CPUS", "4,16").split(",")
 )
 
-# Two corpus sizes per run: the smaller one keeps the exchange's working
-# set under this VM's ~1-2 GB/s aggregate-bandwidth ceiling (the regime a
-# real per-node load sits in, since cluster nodes each bring their own
-# memory bus), the larger one documents the saturated regime.  Format:
-# "docs:reps,docs:reps".
+# Two corpus sizes per run.  The FIRST is primary (the headline "value"):
+# the 300k-doc corpus keeps the build's working set under this VM's
+# ~1-2 GB/s aggregate-memcpy ceiling (scripts/scaling_roofline.py: a pure
+# memcpy null job scales at ~0.28 on this box because 4 workers already
+# saturate the one shared bus), so 4->16 CPUs measures the CODE's
+# scalability — the regime a real per-node load sits in, since cluster
+# nodes each bring their own memory bus.  The SECOND (1M docs) documents
+# the bus-saturated regime on the same code for transparency (VERDICT r4
+# 'Next round' #1b promoted the sub-saturation leg to the criterion
+# row).  Format: "docs:reps,docs:reps"; first entry is primary.
 SCALING_SIZES = [
     (int(p.split(":")[0]), int(p.split(":")[1]))
     for p in os.environ.get("GRAFT_SCALING_SIZES",
-                            "1000000:2,300000:1").split(",")
+                            "300000:2,1000000:2").split(",")
 ]
 
 
@@ -503,8 +511,9 @@ def run_scaling() -> dict:
     saturated = str(SCALING_SIZES[-1][0]) if len(SCALING_SIZES) > 1 else None
     return {
         "metric": (f"index-build scaling efficiency ({lo} -> {hi} cpus, "
-                   f"{primary}-doc corpus; saturated-regime datapoint and "
-                   f"bandwidth probe attached)"),
+                   f"{primary}-doc sub-saturation corpus primary; "
+                   f"bus-saturated {saturated}-doc datapoint and bandwidth "
+                   f"probes attached)"),
         "value": sizes[primary]["efficiency"],
         "unit": "efficiency",
         "sf": f"/tmp/bench_scale_corpus_{primary}",
@@ -516,6 +525,7 @@ def run_scaling() -> dict:
             f"build_{hi}cpu_files_per_sec":
                 sizes[primary][f"build_{hi}cpu_files_per_sec"],
         },
+        "efficiency_subsat": sizes[primary]["efficiency"],
         "efficiency_saturated":
             sizes[saturated]["efficiency"] if saturated else None,
         "sizes": sizes,
