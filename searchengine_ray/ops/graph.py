@@ -33,9 +33,27 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 import ray.data
 
+#: Env var naming the root under which every dedup/graph side table
+#: (drop lists, bucketed signature/unit stores, IVF scratch indexes) is
+#: materialized.  On a multi-node cluster this MUST point at storage
+#: visible to every worker — a shared filesystem mount or an
+#: object-store FUSE path — because the tasks that *write* a side table
+#: and the tasks that later *read* it land on different nodes.  Unset,
+#: it falls back to the local temp dir, which is correct single-node
+#: (this sandbox) and wrong multi-node by construction (SURVEY §9).
+SCRATCH_ROOT_ENV = "SE_RAY_SCRATCH_ROOT"
+
+
+def scratch_root() -> str:
+    """The configured side-table storage root (see SCRATCH_ROOT_ENV)."""
+    return os.environ.get(SCRATCH_ROOT_ENV) or tempfile.gettempdir()
+
+
 def scratch_dir(tag: str) -> str:
-    """A fresh scratch directory under /tmp for materialized side tables."""
-    base = os.path.join(tempfile.gettempdir(), "searchengine_ray_ops")
+    """A fresh scratch directory under ``scratch_root()`` for
+    materialized side tables (read back by later pipeline stages, so on
+    a real cluster the root must be shared storage)."""
+    base = os.path.join(scratch_root(), "searchengine_ray_ops")
     os.makedirs(base, exist_ok=True)
     d = os.path.join(base, f"{tag}_{uuid.uuid4().hex[:12]}")
     os.makedirs(d)

@@ -215,3 +215,45 @@ class TestBucketedJoin:
             ).take_all()
         }
         assert out == {(1, 2): 30, (5, 17): 220, (900, 901): 18010}
+
+
+class TestScratchRoot:
+    """SE_RAY_SCRATCH_ROOT redirects every dedup/graph side table (the
+    multi-node deployment hook: point it at shared storage)."""
+
+    def test_env_root_redirects_side_tables(
+        self, ray_session, tmp_path, monkeypatch
+    ):
+        import ray.data
+
+        from searchengine_ray.ops import graph
+        from searchengine_ray.ops.dedup import exact_dedup
+
+        root = tmp_path / "shared_store"
+        root.mkdir()
+        monkeypatch.setenv(graph.SCRATCH_ROOT_ENV, str(root))
+        assert graph.scratch_root() == str(root)
+        d = graph.scratch_dir("unit")
+        assert d.startswith(str(root))
+
+        # An end-to-end op whose drop list lives under the custom root.
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(6), type=pa.int64()),
+                    "text": ["a", "b", "a", "c", "b", "a"],
+                }
+            )
+        ).repartition(3)
+        kept = sorted(r["doc_id"] for r in exact_dedup(ds).take_all())
+        assert kept == [0, 1, 3]
+        made = [p.name for p in (root / "searchengine_ray_ops").iterdir()]
+        assert any(n.startswith("exact_drop_") for n in made)
+
+    def test_default_root_is_local_tmp(self, monkeypatch):
+        import tempfile
+
+        from searchengine_ray.ops import graph
+
+        monkeypatch.delenv(graph.SCRATCH_ROOT_ENV, raising=False)
+        assert graph.scratch_root() == tempfile.gettempdir()
