@@ -44,27 +44,92 @@ def vec_matrix(col, dim: int | None = None) -> np.ndarray:
         flat.astype(np.float64, copy=False).reshape(-1, d))
 
 
+#: stats of the most recent read_query_vectors on this driver: parquet
+#: row groups scanned vs total (lets tests assert predicate pushdown).
+LAST_QV_FETCH_STATS: dict = {}
+
+
+def read_query_vectors(
+    path: str,
+    qids: list[int],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Driver-side fetch of ONLY the query rows, in ``qids`` order.
+
+    The id predicate is pushed into the parquet scan
+    (``pyarrow.dataset`` filter), so row groups whose [min, max] id
+    statistics exclude every query id are skipped without being read —
+    at real scale this is O(row groups containing the ids), not
+    O(table).  Row groups scanned vs total are recorded in
+    ``LAST_QV_FETCH_STATS``."""
+    import operator
+    from functools import reduce
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    dsrc = pads.dataset(path, format="parquet")
+    # OR-of-equalities, not isin(): parquet row-group statistics pruning
+    # handles comparison expressions but passes isin() through unpruned
+    # (pyarrow 16; verified in tests)
+    filt = reduce(operator.or_, [pc.field(id_col) == q for q in qids])
+    # observability (one footer read, driver-side): how many row groups
+    # survive statistics pruning
+    frags = list(dsrc.get_fragments())
+    n_total = sum(f.metadata.num_row_groups for f in frags)
+    n_scan = sum(
+        len(f.split_by_row_group(filt, schema=dsrc.schema)) for f in frags
+    )
+    LAST_QV_FETCH_STATS.clear()
+    LAST_QV_FETCH_STATS.update(
+        {"row_groups_total": n_total, "row_groups_scanned": n_scan}
+    )
+    tbl = dsrc.to_table(columns=[id_col, vec_col], filter=filt)
+    ids = tbl.column(id_col).to_numpy()
+    take = []
+    for q in qids:
+        hit = np.flatnonzero(ids == q)
+        if hit.size == 0:
+            raise ValueError(
+                f"read_query_vectors: {id_col}={q} not found in {path}"
+            )
+        take.append(int(hit[0]))
+    return vec_matrix(tbl.take(take).column(vec_col))
+
+
 def _topk_merge(rows: list[dict], k: int) -> pa.Table:
-    """Merge per-batch candidate rows into global top-k per query."""
-    by_q: dict[int, list[tuple[float, int]]] = {}
-    for r in rows:
-        by_q.setdefault(int(r["query_id"]), []).append(
-            (float(r["score"]), int(r["vec_id"]))
+    """Merge per-batch candidate rows into global top-k per query —
+    vectorized: one lexsort of (query, -score, vec_id) over the
+    O(blocks x queries x k) candidate rows, then a per-group head-k."""
+    if not rows:
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "score": pa.array([], type=pa.float64()),
+                "rank": pa.array([], type=pa.int64()),
+            }
         )
-    out_q, out_v, out_s, out_r = [], [], [], []
-    for q in sorted(by_q):
-        cand = sorted(by_q[q], key=lambda sv: (-sv[0], sv[1]))[:k]
-        for rank, (s, v) in enumerate(cand, start=1):
-            out_q.append(q)
-            out_v.append(v)
-            out_s.append(s)
-            out_r.append(rank)
+    q = np.fromiter((r["query_id"] for r in rows), dtype=np.int64,
+                    count=len(rows))
+    v = np.fromiter((r["vec_id"] for r in rows), dtype=np.int64,
+                    count=len(rows))
+    s = np.fromiter((r["score"] for r in rows), dtype=np.float64,
+                    count=len(rows))
+    order = np.lexsort((v, -s, q))
+    q, v, s = q[order], v[order], s[order]
+    # rank within each query run = position - run start
+    starts = np.flatnonzero(np.r_[True, q[1:] != q[:-1]])
+    run_id = np.cumsum(np.r_[True, q[1:] != q[:-1]]) - 1
+    rank = np.arange(q.size) - starts[run_id] + 1
+    keep = rank <= k
     return pa.table(
         {
-            "query_id": pa.array(out_q, type=pa.int64()),
-            "vec_id": pa.array(out_v, type=pa.int64()),
-            "score": pa.array(out_s, type=pa.float64()),
-            "rank": pa.array(out_r, type=pa.int64()),
+            "query_id": pa.array(q[keep], type=pa.int64()),
+            "vec_id": pa.array(v[keep], type=pa.int64()),
+            "score": pa.array(s[keep], type=pa.float64()),
+            "rank": pa.array(rank[keep], type=pa.int64()),
         }
     )
 
@@ -88,49 +153,28 @@ def knn_bruteforce(
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         unit = _normalize(vecs)
         sims = qm @ unit.T  # (nq, nbatch)
+        nq = sims.shape[0]
         kk = min(k, sims.shape[1])
         part = np.argpartition(-sims, kth=kk - 1, axis=1)[:, :kk]
-        out_q, out_v, out_s = [], [], []
-        for qi in range(sims.shape[0]):
-            for j in part[qi]:
-                out_q.append(qi)
-                out_v.append(int(ids[j]))
-                out_s.append(float(sims[qi, j]))
         return pa.table(
             {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "vec_id": pa.array(out_v, type=pa.int64()),
-                "score": pa.array(out_s, type=pa.float64()),
+                "query_id": pa.array(
+                    np.repeat(np.arange(nq, dtype=np.int64), kk)),
+                "vec_id": pa.array(
+                    ids[part.reshape(-1)].astype(np.int64, copy=False)),
+                "score": pa.array(
+                    np.take_along_axis(sims, part, axis=1).reshape(-1)),
             }
         )
 
     rows = ds.map_batches(local_topk, batch_format="pyarrow").take_all()
     tbl = _topk_merge(rows, k)
     # map positional query index -> caller's query_ids
-    qmap = {i: qid for i, qid in enumerate(qids)}
+    qmap = np.asarray(qids, dtype=np.int64)
     return tbl.set_column(
         0, "query_id",
-        pa.array([qmap[int(x)] for x in tbl.column("query_id").to_pylist()],
-                 type=pa.int64()),
+        pa.array(qmap[tbl.column("query_id").to_numpy()], type=pa.int64()),
     )
-
-
-def _kmeans_fit(sample: np.ndarray, n_clusters: int, iters: int = 10,
-                seed: int = 0) -> np.ndarray:
-    """Small deterministic k-means on a driver-side sample (unit vectors).
-    Used only to INITIALIZE the distributed fit (bounded subsample)."""
-    rng = np.random.default_rng(seed)
-    n = sample.shape[0]
-    centroids = sample[rng.choice(n, size=min(n_clusters, n), replace=False)]
-    for _ in range(iters):
-        sims = sample @ centroids.T
-        assign = np.argmax(sims, axis=1)
-        for c in range(centroids.shape[0]):
-            members = sample[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-        centroids = _normalize(centroids)
-    return centroids
 
 
 _KNUTH = np.uint64(2654435761)
@@ -169,27 +213,191 @@ def _unit_sample(ds: ray.data.Dataset, vec_col: str, id_col: str,
     return ds.map_batches(pick, batch_format="pyarrow").materialize()
 
 
+def _u01(ids: np.ndarray, salt: int) -> np.ndarray:
+    """Deterministic per-id uniform [0, 1) (splitmix64 finalizer over
+    id + salted golden-ratio increment) — reproducible sampling
+    decisions under any batch composition, no RNG state shipped."""
+    with np.errstate(over="ignore"):
+        x = ids.astype(np.uint64) + np.uint64(salt & (2**64 - 1)) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _sample_id_col(batch: pa.Table) -> str:
+    names = [c for c in batch.column_names if c != "unit"]
+    return names[0]
+
+
+def _weighted_kmeanspp(
+    cand: np.ndarray, w: np.ndarray, k: int, seed: int, iters: int = 5
+) -> np.ndarray:
+    """Driver-side weighted k-means++ seeding + weighted Lloyd over the
+    SMALL k-means|| candidate set (O(rounds x oversample) rows)."""
+    n = cand.shape[0]
+    if n <= k:
+        return _normalize(cand.copy())
+    rng = np.random.default_rng(seed)
+    centers = [cand[int(np.argmax(w))]]
+    d2 = np.maximum(0.0, 2.0 - 2.0 * (cand @ centers[0]))
+    while len(centers) < k:
+        probs = w * d2
+        tot = probs.sum()
+        if tot <= 0:
+            # remaining candidates coincide with chosen centers: pad by
+            # descending weight among the unchosen
+            order = np.argsort(-w)
+            for i in order:
+                if len(centers) >= k:
+                    break
+                if not any(np.array_equal(cand[i], c) for c in centers):
+                    centers.append(cand[i])
+            break
+        pick = int(rng.choice(n, p=probs / tot))
+        centers.append(cand[pick])
+        d2 = np.minimum(
+            d2, np.maximum(0.0, 2.0 - 2.0 * (cand @ centers[-1]))
+        )
+    centroids = np.asarray(centers, dtype=np.float64)
+    for _ in range(iters):
+        a = np.argmax(cand @ centroids.T, axis=1)
+        new = centroids.copy()
+        for c in range(centroids.shape[0]):
+            m = a == c
+            wm = w[m].sum()
+            if wm > 0:
+                new[c] = (cand[m] * w[m, None]).sum(axis=0) / wm
+        centroids = _normalize(new)
+    return centroids
+
+
+def _kmeans_parallel_init(
+    sample_ds: ray.data.Dataset,
+    n_clusters: int,
+    seed: int = 0,
+    rounds: int = 5,
+    oversample: int | None = None,
+) -> np.ndarray:
+    """k-means|| initialization (Bahmani et al., VLDB 2012) over the
+    materialized distributed sample: each round computes the clustering
+    cost phi in one ``map_batches`` pass, then independently samples each
+    point with probability min(1, l * d²(x) / phi) in a second pass
+    (deterministic per-id hash, not RNG state).  The driver only ever
+    holds the candidate set (~1 + rounds x l rows) — never the sample —
+    then reduces it to ``n_clusters`` centers with weighted k-means++
+    (candidate weights = nearest-candidate counts, one more pass).
+    Replaces the bounded ``init_size`` head-subsample init (VERDICT r4
+    'Next round' #5: init quality at extreme k)."""
+    first = sample_ds.limit(1).take_all()
+    if not first:
+        raise ValueError(
+            "_kmeans_parallel_init: empty sample — the caller must fall "
+            "back to a full-rate sample or fail on an empty input"
+        )
+    centers = _normalize(
+        np.asarray([first[0]["unit"]], dtype=np.float64))
+    dim = centers.shape[1]
+    l = oversample if oversample is not None else 2 * n_clusters
+
+    for rnd in range(rounds):
+        cent_ref = ray.put(centers)
+
+        def cost_part(batch: pa.Table) -> pa.Table:
+            cents = ray.get(cent_ref)
+            unit = vec_matrix(batch.column("unit"), dim=cents.shape[1])
+            d2 = np.maximum(0.0, 2.0 - 2.0 * (unit @ cents.T).max(axis=1))
+            return pa.table({"cost": pa.array([float(d2.sum())])})
+
+        phi = sum(
+            r["cost"]
+            for r in sample_ds.map_batches(
+                cost_part, batch_format="pyarrow"
+            ).take_all()
+        )
+        if phi <= 0.0:
+            break  # every sample point coincides with a center
+        salt = (seed * 1_000_003 + rnd) & (2**63 - 1)
+
+        def sample_part(batch: pa.Table) -> pa.Table:
+            cents = ray.get(cent_ref)
+            unit = vec_matrix(batch.column("unit"), dim=cents.shape[1])
+            ids = batch.column(_sample_id_col(batch)).to_numpy(
+                zero_copy_only=False
+            )
+            d2 = np.maximum(0.0, 2.0 - 2.0 * (unit @ cents.T).max(axis=1))
+            m = _u01(ids.astype(np.uint64), salt) < np.minimum(
+                1.0, l * d2 / phi
+            )
+            picked = unit[m]
+            n_keep, d = picked.shape
+            offs = pa.array(
+                np.arange(0, (n_keep + 1) * d, d, dtype=np.int32))
+            return pa.table(
+                {
+                    "unit": pa.ListArray.from_arrays(
+                        offs,
+                        pa.array(picked.reshape(-1), type=pa.float64()),
+                    )
+                }
+            )
+
+        new_rows = sample_ds.map_batches(
+            sample_part, batch_format="pyarrow"
+        ).take_all()
+        if new_rows:
+            new = np.asarray([r["unit"] for r in new_rows],
+                             dtype=np.float64)
+            centers = np.vstack([centers, new])
+
+    # candidate weights: how many sample points each candidate is nearest to
+    cent_ref = ray.put(centers)
+
+    def weight_part(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        unit = vec_matrix(batch.column("unit"), dim=cents.shape[1])
+        a = np.argmax(unit @ cents.T, axis=1)
+        return pa.table(
+            {
+                "counts": pa.array(
+                    [np.bincount(a, minlength=cents.shape[0])],
+                    type=pa.list_(pa.int64()),
+                )
+            }
+        )
+
+    w = np.zeros(centers.shape[0], dtype=np.float64)
+    for r in sample_ds.map_batches(
+        weight_part, batch_format="pyarrow"
+    ).take_all():
+        w += np.asarray(r["counts"], dtype=np.float64)
+    assert centers.shape[1] == dim
+    return _weighted_kmeanspp(centers, w, n_clusters, seed=seed)
+
+
 def _kmeans_fit_distributed(
     sample_ds: ray.data.Dataset,
     n_clusters: int,
     iters: int = 10,
     seed: int = 0,
-    init_size: int = 4096,
+    init: np.ndarray | None = None,
 ) -> np.ndarray:
     """Minibatch k-means over a materialized distributed sample
     (VERDICT r2 'Next round' #8, SURVEY §9 named upgrade): centroids are
-    initialized by the driver-side fit on a BOUNDED ``init_size``
-    subsample, then refined by Lloyd iterations where each pass is a
+    initialized by k-means|| (``_kmeans_parallel_init`` — distributed,
+    driver holds only the candidate set; pass ``init`` to override),
+    then refined by Lloyd iterations where each pass is a
     ``map_batches`` computing per-batch (k x dim) partial sums + counts
     — the driver only ever holds O(k x dim) state, never the sample."""
-    init_rows = sample_ds.limit(init_size).take_all()
-    if not init_rows:
-        raise ValueError(
-            "_kmeans_fit_distributed: empty sample — the caller must "
-            "fall back to a full-rate sample or fail on an empty input"
-        )
-    init = np.asarray([r["unit"] for r in init_rows], dtype=np.float64)
-    centroids = _kmeans_fit(init, n_clusters, iters=3, seed=seed)
+    centroids = (
+        np.asarray(init, dtype=np.float64)
+        if init is not None
+        else _kmeans_parallel_init(sample_ds, n_clusters, seed=seed)
+    )
     k, dim = centroids.shape
 
     for _ in range(iters):
@@ -398,8 +606,8 @@ def ivf_query(
         unit = col.flatten().to_numpy(zero_copy_only=False).reshape(-1, dim)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         cell = batch.column("cell_id").to_numpy(zero_copy_only=False)
-        out_q, out_v, out_s = [], [], []
-        for qi in range(qm.shape[0]):
+        parts_q, parts_v, parts_s = [], [], []
+        for qi in range(qm.shape[0]):  # nq is small; inner work vectorized
             mask = np.isin(cell, pr[qi])
             if not mask.any():
                 continue
@@ -407,15 +615,19 @@ def ivf_query(
             sub_ids = ids[mask]
             kk = min(k, sims.size)
             part = np.argpartition(-sims, kth=kk - 1)[:kk]
-            for j in part:
-                out_q.append(qi)
-                out_v.append(int(sub_ids[j]))
-                out_s.append(float(sims[j]))
+            parts_q.append(np.full(kk, qi, dtype=np.int64))
+            parts_v.append(sub_ids[part].astype(np.int64, copy=False))
+            parts_s.append(sims[part])
+        empty = np.array([], dtype=np.int64)
         return pa.table(
             {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "vec_id": pa.array(out_v, type=pa.int64()),
-                "score": pa.array(out_s, type=pa.float64()),
+                "query_id": pa.array(
+                    np.concatenate(parts_q) if parts_q else empty),
+                "vec_id": pa.array(
+                    np.concatenate(parts_v) if parts_v else empty),
+                "score": pa.array(
+                    np.concatenate(parts_s) if parts_s
+                    else np.array([], dtype=np.float64)),
             }
         )
 
@@ -425,11 +637,10 @@ def ivf_query(
         .take_all()
     )
     tbl = _topk_merge(rows, k)
-    qmap = {i: qid for i, qid in enumerate(qids)}
+    qmap = np.asarray(qids, dtype=np.int64)
     return tbl.set_column(
         0, "query_id",
-        pa.array([qmap[int(x)] for x in tbl.column("query_id").to_pylist()],
-                 type=pa.int64()),
+        pa.array(qmap[tbl.column("query_id").to_numpy()], type=pa.int64()),
     )
 
 

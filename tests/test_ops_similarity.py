@@ -88,18 +88,17 @@ class TestIVF:
         single-machine Lloyd over the same sample + same init (summation
         order differs, so allclose rather than exact)."""
         from searchengine_ray.ops.similarity import (
-            _kmeans_fit,
             _kmeans_fit_distributed,
+            _kmeans_parallel_init,
             _normalize,
             _unit_sample,
         )
 
         ds, vecs = emb
         sample_ds = _unit_sample(ds, "embedding", "vec_id", target=10**9)
-        # local replay: identical init path (limit -> driver fit)
-        init_rows = sample_ds.limit(4096).take_all()
-        init = np.asarray([r["unit"] for r in init_rows])
-        cents = _kmeans_fit(init, 8, iters=3, seed=0)
+        # identical init on both sides: the k-means|| result is itself
+        # deterministic (per-id hash sampling), asserted separately below
+        cents = _kmeans_parallel_init(sample_ds, 8, seed=0)
         sample = np.sort(
             np.asarray([r["vec_id"] for r in sample_ds.take_all()])
         )
@@ -144,3 +143,114 @@ class TestIVF:
                     index_dir=index_dir).to_pylist()
         assert a == b
         assert a[0]["vec_id"] == 1
+
+
+class TestKMeansParallelInit:
+    """k-means|| initialization (VERDICT r4 'Next round' #5)."""
+
+    def test_deterministic_and_unit_norm(self, emb):
+        from searchengine_ray.ops.similarity import (
+            _kmeans_parallel_init,
+            _unit_sample,
+        )
+
+        ds, _ = emb
+        sample_ds = _unit_sample(ds, "embedding", "vec_id", target=10**9)
+        a = _kmeans_parallel_init(sample_ds, 8, seed=0)
+        b = _kmeans_parallel_init(sample_ds, 8, seed=0)
+        assert a.shape == (8, 32)
+        assert np.array_equal(a, b)
+        assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+    def test_finds_well_separated_clusters(self, ray_session):
+        """On clearly separated clusters, every true cluster must get a
+        nearby init center — the init-quality property the bounded
+        head-subsample could not guarantee at extreme k."""
+        import ray.data
+
+        from searchengine_ray.ops.similarity import (
+            _kmeans_parallel_init,
+            _normalize,
+            _unit_sample,
+        )
+
+        rng = np.random.default_rng(3)
+        k, per, d = 8, 60, 16
+        true = _normalize(rng.standard_normal((k, d)))
+        # keep only well-separated centers (resample until pairwise cos < .6)
+        while True:
+            sims = true @ true.T - np.eye(k)
+            if sims.max() < 0.6:
+                break
+            true = _normalize(rng.standard_normal((k, d)))
+        pts = np.repeat(true, per, axis=0) + 0.05 * rng.standard_normal(
+            (k * per, d)
+        )
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(k * per), type=pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in pts], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(4)
+        sample_ds = _unit_sample(ds, "embedding", "vec_id", target=10**9)
+        cents = _kmeans_parallel_init(sample_ds, k, seed=0)
+        # every true center has an init center with high cosine similarity
+        best = (true @ cents.T).max(axis=1)
+        assert (best > 0.9).all(), best
+
+
+class TestQueryVectorFetch:
+    """Predicate-pushdown driver-side query-vector read (VERDICT r4 #4)."""
+
+    def test_row_group_pruning_and_values(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.ops import similarity
+        from searchengine_ray.ops.similarity import read_query_vectors
+
+        rng = np.random.default_rng(7)
+        n, d = 2000, 8
+        vecs = rng.standard_normal((n, d)).astype(np.float32)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(range(n), type=pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+        path = str(tmp_path / "emb.parquet")
+        pq.write_table(tbl, path, row_group_size=100)  # 20 row groups
+
+        got = read_query_vectors(path, [0, 1, 2])
+        stats = dict(similarity.LAST_QV_FETCH_STATS)
+        assert stats["row_groups_total"] == 20
+        assert stats["row_groups_scanned"] == 1  # ids 0-2 live in group 0
+        assert np.allclose(got, vecs[:3].astype(np.float64))
+
+        # qids order is preserved even when not ascending
+        got2 = read_query_vectors(path, [1500, 3])
+        assert similarity.LAST_QV_FETCH_STATS["row_groups_scanned"] == 2
+        assert np.allclose(got2[0], vecs[1500].astype(np.float64))
+        assert np.allclose(got2[1], vecs[3].astype(np.float64))
+
+    def test_missing_id_raises(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from searchengine_ray.ops.similarity import read_query_vectors
+
+        tbl = pa.table(
+            {
+                "vec_id": pa.array([0, 1], type=pa.int64()),
+                "embedding": pa.array(
+                    [[0.0, 1.0], [1.0, 0.0]], type=pa.list_(pa.float32())
+                ),
+            }
+        )
+        path = str(tmp_path / "e.parquet")
+        pq.write_table(tbl, path)
+        with pytest.raises(ValueError, match="vec_id=9 not found"):
+            read_query_vectors(path, [9])
