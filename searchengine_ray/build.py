@@ -385,22 +385,32 @@ def _group_postings_batch(
 
 
 def _write_docstats_block(docstats_dir: str, tbl: pa.Table) -> None:
-    """Side-write one block's per-doc stats.  The file name is the block's
-    doc-id range (blocks cover disjoint dense ranges), so a retried task
-    rewrites the SAME file via tmp + atomic rename — idempotent under Ray
-    task retries."""
+    """Side-write one block's per-doc stats, ONE FILE PER DENSE-CONSECUTIVE
+    doc-id run.  A rebatched block can interleave dense segments from
+    different upstream blocks (the same seam phenomenon the postings
+    grouping splits on); naming a multi-segment block by its overall
+    (min, max) produced files whose doc RANGES overlapped other blocks'
+    even though the doc SETS were disjoint — tripping corpus_scalars'
+    disjoint-range invariant on any sufficiently interleaved build.
+    Writing each dense run as its own file keeps every file an exactly
+    dense [lo..hi] range, so file ranges are pairwise disjoint across
+    the job (two dense runs cannot overlap without sharing a doc id)
+    and a retried task rewrites the SAME files via tmp + atomic rename —
+    idempotent under Ray task retries."""
     if tbl.num_rows == 0:
         return
     import uuid
 
-    ids = tbl.column("doc_id")
-    lo = pa.compute.min(ids).as_py()
-    hi = pa.compute.max(ids).as_py()
-    name = f"docstats_{lo:012d}_{hi:012d}.parquet"
+    ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+    breaks = np.flatnonzero(np.diff(ids) != 1) + 1
+    bounds = [0, *breaks.tolist(), ids.size]
     os.makedirs(docstats_dir, exist_ok=True)
-    tmp = os.path.join(docstats_dir, f".{name}.{uuid.uuid4().hex}.tmp")
-    pq.write_table(tbl, tmp)
-    os.replace(tmp, os.path.join(docstats_dir, name))
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        seg = tbl.slice(a, b - a)
+        name = f"docstats_{int(ids[a]):012d}_{int(ids[b - 1]):012d}.parquet"
+        tmp = os.path.join(docstats_dir, f".{name}.{uuid.uuid4().hex}.tmp")
+        pq.write_table(seg, tmp)
+        os.replace(tmp, os.path.join(docstats_dir, name))
 
 
 def _explode_arrays(

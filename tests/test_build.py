@@ -373,6 +373,31 @@ class TestCorpusScalars:
         with pytest.raises(ValueError, match="overlapping doc ranges"):
             corpus_scalars(d)
 
+    def test_interleaved_block_sidewrite_passes(self, ray_session, tmp_path):
+        """A rebatched block interleaving dense segments from different
+        upstream blocks ([0..3] + [8..11] + [4..7]) must side-write one
+        file PER dense run — a single min..max-named file would cover a
+        range overlapping its sibling blocks' and trip the disjointness
+        invariant on a perfectly healthy build (observed on the 1M-doc
+        scaling corpus at 16 CPUs)."""
+        from searchengine_ray.build import _write_docstats_block, corpus_scalars
+
+        d = str(tmp_path)
+        interleaved = pa.table({
+            "doc_id": pa.array(
+                [*range(0, 4), *range(8, 12), *range(4, 8)],
+                type=pa.int64()),
+            "doc_length": pa.array([3] * 12, type=pa.int64()),
+        })
+        _write_docstats_block(d, interleaved)
+        names = sorted(os.listdir(d))
+        assert names == [
+            "docstats_000000000000_000000000003.parquet",
+            "docstats_000000000004_000000000007.parquet",
+            "docstats_000000000008_000000000011.parquet",
+        ]
+        assert corpus_scalars(d) == (12, 36)
+
     def test_rejects_duplicates_within_file(self, ray_session, tmp_path):
         from searchengine_ray.build import corpus_scalars
 
