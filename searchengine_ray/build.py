@@ -1552,23 +1552,25 @@ def detect_heavy_terms(
 def _sum_doc_lengths(files: list[str],
                      check_dense: bool) -> tuple[int, int, list]:
     """(rows, sum(doc_length), per-file (min_doc, max_doc, rows,
-    n_unique)) over a group of docstats files — the distributed
-    corpus-scalar aggregate (at most two int64 columns per file in
-    memory at a time, never the corpus).  The per-file extrema feed the
-    driver-side dense-unique invariant check (skipped, and the doc_id
-    column left unread, when ``check_dense`` is off)."""
+    n_unique, sum_dl, path)) over a group of docstats files — the
+    distributed corpus-scalar aggregate (at most two int64 columns per
+    file in memory at a time, never the corpus).  The per-file records
+    feed the driver-side dense-unique invariant check and, on overlap,
+    the stale-file reconciliation (skipped, and the doc_id column left
+    unread, when ``check_dense`` is off)."""
     _pin_arrow_threads()
     rows, tot = 0, 0
-    spans: list[tuple[int, int, int, int]] = []
+    spans: list[tuple[int, int, int, int, int, str]] = []
     cols = ["doc_length", "doc_id"] if check_dense else ["doc_length"]
     for f in files:
         t = pq.read_table(f, columns=cols)
         rows += t.num_rows
-        tot += int(pa.compute.sum(t.column("doc_length")).as_py() or 0)
+        dl = int(pa.compute.sum(t.column("doc_length")).as_py() or 0)
+        tot += dl
         if check_dense and t.num_rows:
             ids = t.column("doc_id").to_numpy(zero_copy_only=False)
             spans.append((int(ids.min()), int(ids.max()), t.num_rows,
-                          int(np.unique(ids).size)))
+                          int(np.unique(ids).size), dl, f))
     return rows, tot, spans
 
 
@@ -1585,8 +1587,21 @@ def corpus_scalars(docterms_dir: str,
     composed batches differently, stale files with overlapping doc sets
     would silently double-count docs here.  Each file must hold unique
     doc ids, file doc ranges must be pairwise disjoint, and the union
-    must be dense 0..N-1 — anything else raises instead of producing a
-    wrong N / avgdl / checksum."""
+    must be dense 0..N-1.
+
+    On an overlap, instead of aborting outright, reconcile: per-doc
+    stats are a pure function of the doc, so ANY subset of files that
+    exactly tiles 0..N-1 yields the correct scalars.  Within one build,
+    every retry write lands strictly AFTER the dead attempt's stale
+    write, so keeping files newest-first (dropping any that overlap an
+    already-kept range) recovers exactly the final pass's tiling when
+    one exists.  Verified tilings delete the stale losers (so the
+    reader's sidecar scatter and the manifest lineage see a clean dir);
+    anything still inconsistent raises instead of producing a wrong
+    N / avgdl / checksum.  The clean-build fast path is unchanged
+    (observed in the wild: storm-window task retries on the 300k
+    scaling corpus left one overlapping stale file per ~10 builds,
+    aborting bench runs that are now reconciled and recorded)."""
     files = sorted(
         os.path.join(docterms_dir, f)
         for f in os.listdir(docterms_dir)
@@ -1604,7 +1619,7 @@ def corpus_scalars(docterms_dir: str,
     if not check_dense:
         return rows, tot
     spans = sorted(s for p in parts for s in p[2])
-    for lo, hi, n, n_uniq in spans:
+    for lo, hi, n, n_uniq, _dl, _f in spans:
         if n_uniq != n:
             raise ValueError(
                 f"docstats invariant broken: a file holds {n - n_uniq} "
@@ -1612,19 +1627,73 @@ def corpus_scalars(docterms_dir: str,
                 "side-write from a lineage re-execution; rebuild the "
                 "docterms stage"
             )
-    for (_, ahi, _, _), (blo, _, _, _) in zip(spans, spans[1:]):
-        if blo <= ahi:
+    overlap = any(b[0] <= a[1] for a, b in zip(spans, spans[1:]))
+    if not overlap:
+        if spans and (spans[0][0] != 0 or spans[-1][1] != rows - 1):
             raise ValueError(
-                "docstats invariant broken: two files cover overlapping "
-                f"doc ranges (..{ahi}] vs [{blo}..) — stale side-write "
-                "from a lineage re-execution; rebuild the docterms stage"
+                f"docstats invariant broken: {rows} rows but doc ids span "
+                f"[{spans[0][0]}, {spans[-1][1]}] (expected dense 0..N-1)"
             )
-    if spans and (spans[0][0] != 0 or spans[-1][1] != rows - 1):
+        return rows, tot
+    return _reconcile_stale_docstats(spans)
+
+
+def _reconcile_stale_docstats(spans: list) -> tuple[int, int]:
+    """Newest-first greedy selection of non-overlapping docstats files;
+    see ``corpus_scalars``.  ``spans`` is the per-file
+    (lo, hi, rows, n_unique, sum_dl, path) list with at least one range
+    overlap.  Returns (num_docs, total_tokens) over the kept tiling and
+    deletes the stale losers, or raises if no exact tiling emerges."""
+    import warnings
+
+    by_newness = sorted(
+        spans,
+        key=lambda s: (os.stat(s[5]).st_mtime_ns, s[5]),
+        reverse=True,
+    )
+    kept: list = []          # sorted by lo
+    dropped: list = []
+    import bisect
+
+    for s in by_newness:
+        lo, hi = s[0], s[1]
+        i = bisect.bisect_left(kept, (lo,))
+        prev_clear = i == 0 or kept[i - 1][1] < lo
+        next_clear = i == len(kept) or kept[i][0] > hi
+        if prev_clear and next_clear:
+            bisect.insort(kept, s)
+        else:
+            dropped.append(s)
+    tiled = (
+        kept
+        and kept[0][0] == 0
+        and all(n == hi - lo + 1 for lo, hi, n, _u, _dl, _f in kept)
+        and all(b[0] == a[1] + 1 for a, b in zip(kept, kept[1:]))
+        # a dense tiling of [0..kept_max] covers a dropped file iff the
+        # dropped range ends at or below kept_max — otherwise docs past
+        # kept_max would silently vanish from N
+        and max(s[1] for s in spans) == kept[-1][1]
+    )
+    if not tiled:
         raise ValueError(
-            f"docstats invariant broken: {rows} rows but doc ids span "
-            f"[{spans[0][0]}, {spans[-1][1]}] (expected dense 0..N-1)"
+            "docstats invariant broken: two files cover overlapping doc "
+            "ranges and no newest-first subset tiles 0..N-1 — stale "
+            "side-writes from a lineage re-execution; rebuild the "
+            "docterms stage"
         )
-    return rows, tot
+    for s in dropped:
+        try:
+            os.remove(s[5])
+        except OSError:
+            pass
+    warnings.warn(
+        f"docstats reconciliation: dropped {len(dropped)} stale "
+        f"overlapping side-file(s) left by a task retry; kept "
+        f"{len(kept)} files tiling 0..{kept[-1][1]}",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    return kept[-1][1] + 1, sum(dl for _lo, _hi, _n, _u, dl, _f in kept)
 
 
 def build_index(

@@ -367,7 +367,10 @@ class TestCorpusScalars:
     def test_rejects_overlapping_stale_file(self, ray_session, tmp_path):
         """r4 advice: a stale docstats side-write surviving a lineage
         re-execution with a different batch composition must fail loudly
-        at the consume point, not silently double-count docs."""
+        at the consume point, not silently double-count docs.  Here the
+        overlapping file is the NEWEST, so newest-first reconciliation
+        cannot recover a tiling (a real retry writes after the stale
+        attempt, never before) and the loud failure is preserved."""
         from searchengine_ray.build import corpus_scalars
 
         d = str(tmp_path)
@@ -378,6 +381,54 @@ class TestCorpusScalars:
         self._write_docstats(d, "docstats_stale.parquet", [2, 3, 4, 5])
         with pytest.raises(ValueError, match="overlapping doc ranges"):
             corpus_scalars(d)
+
+    def test_reconciles_stale_file_older_than_retry(self, ray_session,
+                                                    tmp_path):
+        """The observed in-the-wild shape (storm-window task retry on the
+        300k scaling corpus): a dead attempt's side-file survives, then
+        the retry writes a complete differently-composed tiling AFTER
+        it.  Newest-first reconciliation must keep the retry's tiling,
+        return the correct scalars, delete the stale loser, and warn —
+        not abort the build."""
+        from searchengine_ray.build import corpus_scalars
+
+        d = str(tmp_path)
+        # dead attempt wrote [2..5] first
+        self._write_docstats(d, "docstats_stale.parquet", [2, 3, 4, 5])
+        os.utime(os.path.join(d, "docstats_stale.parquet"),
+                 ns=(1_000_000_000, 1_000_000_000))
+        # complete retry tiling, strictly newer
+        self._write_docstats(d, "docstats_a.parquet", [0, 1, 2, 3])
+        self._write_docstats(d, "docstats_b.parquet", [4, 5, 6, 7])
+        for name in ("docstats_a.parquet", "docstats_b.parquet"):
+            os.utime(os.path.join(d, name),
+                     ns=(2_000_000_000, 2_000_000_000))
+        with pytest.warns(RuntimeWarning, match="docstats reconciliation"):
+            assert corpus_scalars(d) == (8, 24)
+        assert sorted(os.listdir(d)) == [
+            "docstats_a.parquet", "docstats_b.parquet"]
+        # dir is clean now: the fast path returns silently
+        assert corpus_scalars(d) == (8, 24)
+
+    def test_reconciliation_requires_exact_tiling(self, ray_session,
+                                                  tmp_path):
+        """If dropping overlapped files leaves a doc-id gap, the
+        reconciler must raise, never return scalars over a partial
+        cover."""
+        from searchengine_ray.build import corpus_scalars
+
+        d = str(tmp_path)
+        self._write_docstats(d, "docstats_stale.parquet", [2, 3, 4, 5])
+        os.utime(os.path.join(d, "docstats_stale.parquet"),
+                 ns=(1_000_000_000, 1_000_000_000))
+        # newer retry covers [0..3] but nothing re-covers 4..5
+        self._write_docstats(d, "docstats_a.parquet", [0, 1, 2, 3])
+        os.utime(os.path.join(d, "docstats_a.parquet"),
+                 ns=(2_000_000_000, 2_000_000_000))
+        with pytest.raises(ValueError, match="no newest-first subset"):
+            corpus_scalars(d)
+        # nothing deleted on failure
+        assert len(os.listdir(d)) == 2
 
     def test_interleaved_block_sidewrite_passes(self, ray_session, tmp_path):
         """A rebatched block interleaving dense segments from different
