@@ -426,12 +426,19 @@ def _write_store_batch(
     tbl: pa.Table, sig_dir: str, id_col: str, num_buckets: int
 ) -> None:
     """Append one map batch's side-table rows to a bucketed store.
-    File names derive from the batch's min id, so a retried task
-    overwrites its own files idempotently (a retried Ray Data task
-    re-reads the same input block).  File count is O(batches x touched
-    buckets) — the caller's ``batch_size`` IS the write granularity, so
-    at large scale raise it together with ``num_join_buckets`` (e.g.
-    8192-row batches -> ~2k files per billion rows per bucket)."""
+    File names derive from the batch's min id, so a retried task that
+    re-reads the same input batch overwrites its own files.  A retry
+    that REBATCHES differently (observed on the docstats side-writes
+    under storm-window retries) can instead strand a stale file whose
+    rows duplicate the retry's — benign HERE, unlike docstats: every
+    store row is a pure function of its doc (signature / unit vector),
+    and every consumer resolves ids via ``np.searchsorted`` over the
+    id-sorted side table, which lands on one of the identical copies;
+    nothing counts or sums store rows.  File count is O(batches x
+    touched buckets) — the caller's ``batch_size`` IS the write
+    granularity, so at large scale raise it together with
+    ``num_join_buckets`` (e.g. 8192-row batches -> ~2k files per
+    billion rows per bucket)."""
     ids = tbl.column(id_col).to_numpy(zero_copy_only=False)
     if not len(ids):
         return
