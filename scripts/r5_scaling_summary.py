@@ -1,0 +1,48 @@
+"""Summarize round-5 scaling runs (SCALING_r05_run*.json).
+
+Prints one row per run plus the same-code medians for the primary
+(300k sub-saturation) and attached (1M saturated) criterion rows —
+the numbers BASELINE.md's round-5 table reports.  Pure file reading;
+no Ray.
+"""
+import glob
+import json
+import os
+import re
+import statistics
+import sys
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    runs = []
+    for path in glob.glob(os.path.join(repo, "SCALING_r05_run*.json")):
+        m = re.search(r"run(\d+)\.json$", path)
+        if not m:
+            continue
+        with open(path) as f:
+            d = json.load(f)
+        runs.append((int(m.group(1)), d))
+    if not runs:
+        print("no SCALING_r05_run*.json found", file=sys.stderr)
+        raise SystemExit(1)
+    runs.sort()
+    subsat = [d["efficiency_subsat"] for _, d in runs]
+    sat = [d["efficiency_saturated"] for _, d in runs]
+    print(f"{'run':>4} {'subsat(PRIMARY)':>16} {'saturated':>10} "
+          f"{'300k 16cpu f/s':>15} {'1M 16cpu f/s':>13}")
+    for n, d in runs:
+        s300 = d["sizes"].get("300000", {})
+        s1m = d["sizes"].get("1000000", {})
+        print(f"{n:>4} {d['efficiency_subsat']:>16.3f} "
+              f"{d['efficiency_saturated']:>10.3f} "
+              f"{s300.get('build_16cpu_files_per_sec', float('nan')):>15,.0f} "
+              f"{s1m.get('build_16cpu_files_per_sec', float('nan')):>13,.0f}")
+    print(f"\nruns: {len(runs)}")
+    print(f"median subsat (PRIMARY): {statistics.median(subsat):.3f}")
+    print(f"median saturated:        {statistics.median(sat):.3f}")
+    print(f"min/max subsat: {min(subsat):.3f} / {max(subsat):.3f}")
+
+
+if __name__ == "__main__":
+    main()
