@@ -445,15 +445,24 @@ def run_scaling() -> dict:
     leg reports the best throughput among qualifying reps (falling back
     to all reps, marked ``window: contended``, only when no rep
     qualifies).  All per-rep (probe, throughput) pairs are emitted for
-    transparency."""
+    transparency.
+
+    Reps INTERLEAVE the two CPU legs (lo, hi, lo, hi, ...) so both legs
+    sample the same weather mixture: with sequential legs a ~10-minute
+    co-tenant storm lands entirely on one leg and the ratio measures the
+    storm, not the code (observed: SCALING_r05_run3, both 16-CPU
+    sub-saturation reps inside a 0.4 GB/s window while the 4-CPU reps
+    saw normal weather — efficiency 0.581 against same-code quiet-window
+    readings of 0.80-0.84).  The measured job (--_single-build) and the
+    best-qualifying-rep estimator are unchanged; only rep scheduling
+    moved (runs 1-3 predate the interleave)."""
     lo, hi = SCALING_CPUS
     sizes = {}
     for n_docs, reps in SCALING_SIZES:
-        results = {}
         rep_log: dict[int, list] = {lo: [], hi: []}
-        for n in (lo, hi):
-            best = None
-            for _ in range(reps):
+        best: dict[int, dict | None] = {lo: None, hi: None}
+        for _ in range(reps):
+            for n in (lo, hi):
                 pre_g, pre_ok = _await_quiet_window()
                 with _DuringSampler() as sampler:
                     proc = subprocess.run(
@@ -478,14 +487,15 @@ def run_scaling() -> dict:
                 r["window_ok"] = bool(pre_ok and post_g >= QUIET_GBPS
                                       and sampler.ok)
                 rep_log[n].append(r)
-                if best is None:
-                    best = r
-                elif r["window_ok"] and not best["window_ok"]:
-                    best = r            # any qualifying rep beats contended
-                elif (r["window_ok"] == best["window_ok"]
-                      and r["files_per_sec"] > best["files_per_sec"]):
-                    best = r
-            results[n] = best
+                b = best[n]
+                if b is None:
+                    best[n] = r
+                elif r["window_ok"] and not b["window_ok"]:
+                    best[n] = r         # any qualifying rep beats contended
+                elif (r["window_ok"] == b["window_ok"]
+                      and r["files_per_sec"] > b["files_per_sec"]):
+                    best[n] = r
+        results = best
         tp_lo = results[lo]["files_per_sec"]
         tp_hi = results[hi]["files_per_sec"]
         stages = {}
