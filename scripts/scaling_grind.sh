@@ -20,8 +20,20 @@ while [ $done -lt "$MAX_RUNS" ]; do
     [ $((now - t0)) -ge "$MAX_SECS" ] && break
     i=1
     while [ -e "SCALING_r05_run$i.json" ]; do i=$((i + 1)); done
-    python bench.py --scaling 2>>/tmp/scaling_grind.err | tail -1 \
+    # Launch-gate each run on a genuinely quiet window (VERDICT r4
+    # 'Next round' #1a prescribes accumulating runs IN QUIET WINDOWS:
+    # a run started mid-storm just records a weather-poisoned median
+    # entry).  quiet_launch exits 3 without running if the bus never
+    # goes quiet within --max-wait; we then re-check the stop/limit
+    # conditions and wait again.
+    python scripts/quiet_launch.py --gbps 6.0 --period 60 \
+        --consecutive 2 --max-wait 1800 -- \
+        python bench.py --scaling 2>>/tmp/scaling_grind.err | tail -1 \
         > /tmp/scaling_grind_tmp.json
+    if [ "${PIPESTATUS[0]}" -eq 3 ]; then
+        echo "run $i deferred: bus stormy for 30 min, re-gating"
+        continue
+    fi
     if [ -s /tmp/scaling_grind_tmp.json ] \
         && python -c "import json;json.load(open('/tmp/scaling_grind_tmp.json'))" \
             2>/dev/null; then
