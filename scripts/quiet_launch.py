@@ -23,14 +23,33 @@ NOT run), so callers can distinguish "ran" from "gave up".
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
 
 from bench import bw_probe  # noqa: E402  (Ray-free memcpy probe)
+
+#: Default persistent probe log: every gate probe (quiet or stormy) is
+#: appended as one JSON line {ts, gbps, quiet, streak, event} so the
+#: round's weather record survives the session — the deferral evidence
+#: behind BASELINE.md's scaling-criterion protocol ("runs are launched
+#: only into quiet windows; the gate probed continuously in between").
+DEFAULT_LOG = os.path.join(_REPO, "SCALING_r05_weather.jsonl")
+
+
+def _log_probe(path: str, **row) -> None:
+    if not path:
+        return
+    try:
+        with open(path, "a") as fh:
+            fh.write(json.dumps({"ts": round(time.time(), 1), **row}) + "\n")
+    except OSError:
+        pass  # evidence log must never break the launch itself
 
 
 def main() -> int:
@@ -44,6 +63,10 @@ def main() -> int:
                     help="quiet probes in a row required before launch")
     ap.add_argument("--max-wait", type=float, default=7200.0,
                     help="give up (exit 3) after this many seconds")
+    ap.add_argument("--log", default=DEFAULT_LOG,
+                    help="append each probe as a JSON line here "
+                         "('' disables; default SCALING_r05_weather.jsonl "
+                         "at the repo root)")
     ap.add_argument("cmd", nargs=argparse.REMAINDER,
                     help="command to run (prefix with --)")
     args = ap.parse_args()
@@ -60,15 +83,21 @@ def main() -> int:
         print(f"[quiet-launch] bw={g:.2f} GB/s "
               f"({'quiet' if quiet else 'contended'}, streak "
               f"{streak}/{args.consecutive})", file=sys.stderr, flush=True)
+        _log_probe(args.log, gbps=round(g, 2), quiet=quiet, streak=streak,
+                   event="probe")
         if streak >= args.consecutive:
             break
         if time.time() - t0 > args.max_wait:
             print("[quiet-launch] gave up: bus never went quiet",
                   file=sys.stderr)
+            _log_probe(args.log, event="gave_up",
+                       waited_s=round(time.time() - t0))
             return 3
         time.sleep(args.period)
     print(f"[quiet-launch] launching after {time.time() - t0:.0f}s: "
           f"{' '.join(cmd)}", file=sys.stderr, flush=True)
+    _log_probe(args.log, event="launch", waited_s=round(time.time() - t0),
+               cmd=" ".join(cmd))
     return subprocess.call(cmd)
 
 
