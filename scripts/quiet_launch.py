@@ -84,20 +84,20 @@ def main() -> int:
               f"({'quiet' if quiet else 'contended'}, streak "
               f"{streak}/{args.consecutive})", file=sys.stderr, flush=True)
         _log_probe(args.log, gbps=round(g, 2), quiet=quiet, streak=streak,
-                   event="probe")
+                   event="probe", gate=args.gbps)
         if streak >= args.consecutive:
             break
         if time.time() - t0 > args.max_wait:
             print("[quiet-launch] gave up: bus never went quiet",
                   file=sys.stderr)
             _log_probe(args.log, event="gave_up",
-                       waited_s=round(time.time() - t0))
+                       waited_s=round(time.time() - t0), gate=args.gbps)
             return 3
         time.sleep(args.period)
     print(f"[quiet-launch] launching after {time.time() - t0:.0f}s: "
           f"{' '.join(cmd)}", file=sys.stderr, flush=True)
     _log_probe(args.log, event="launch", waited_s=round(time.time() - t0),
-               cmd=" ".join(cmd))
+               cmd=" ".join(cmd), gate=args.gbps)
     return subprocess.call(cmd)
 
 

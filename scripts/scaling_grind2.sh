@@ -1,0 +1,64 @@
+#!/bin/bash
+# Round-5 scaling-evidence accumulator, tier-2 revision.
+#
+# The single-threshold grind (scaling_grind.sh) launches only into
+# >=6 GB/s windows; this host's round-5 afternoon delivered a
+# multi-hour DEEP storm (0.2-1.3 GB/s probes, SCALING_r05_weather.jsonl)
+# with zero such windows, so the gated cohort stayed empty.  Runs 1-2
+# showed the sub-saturation criterion clears 0.8 even in MODERATE
+# contention (their windows probed 3-6 GB/s); only deep storms (runs
+# 3-4, <1 GB/s windows parked on one leg) poison the ratio.  So: each
+# cycle first waits for a genuinely quiet >=6 GB/s window (tier 1,
+# 25 min), then falls back to a moderate >=4 GB/s window (tier 2,
+# 10 min).  Deep-storm probes pass neither tier — we still never
+# launch into <4 GB/s weather.  The tier is recorded in the weather
+# log (the launch event carries the gate's --gbps) and each run's own
+# per-rep probe triples remain the per-run evidence.
+#
+# Stop by touching /tmp/stop_scaling_grind; self-limits by count and
+# wall-clock so it can never outlive the session budget.
+set -u
+cd /root/repo
+MAX_RUNS=${1:-40}
+MAX_SECS=${2:-16000}
+t0=$(date +%s)
+done=0
+while [ $done -lt "$MAX_RUNS" ]; do
+    [ -e /tmp/stop_scaling_grind ] && break
+    now=$(date +%s)
+    [ $((now - t0)) -ge "$MAX_SECS" ] && break
+    i=1
+    while [ -e "SCALING_r05_run$i.json" ]; do i=$((i + 1)); done
+    launched=0
+    for tier in "6.0 1500" "4.0 600"; do
+        set -- $tier
+        gbps=$1; maxwait=$2
+        python scripts/quiet_launch.py --gbps "$gbps" --period 60 \
+            --consecutive 2 --max-wait "$maxwait" -- \
+            python bench.py --scaling 2>>/tmp/scaling_grind.err \
+            | tail -1 > /tmp/scaling_grind_tmp.json
+        if [ "${PIPESTATUS[0]}" -ne 3 ]; then
+            launched=1
+            break
+        fi
+        echo "tier $gbps deferred after ${maxwait}s"
+    done
+    if [ "$launched" -eq 0 ]; then
+        echo "run $i deferred: no >=4 GB/s window this cycle, re-gating"
+        continue
+    fi
+    if [ -s /tmp/scaling_grind_tmp.json ] \
+        && python -c "import json;json.load(open('/tmp/scaling_grind_tmp.json'))" \
+            2>/dev/null; then
+        cp /tmp/scaling_grind_tmp.json "SCALING_r05_run$i.json"
+        echo "run $i done: $(python -c "
+import json
+d = json.load(open('SCALING_r05_run$i.json'))
+print('subsat', d['efficiency_subsat'], 'sat', d['efficiency_saturated'])")"
+    else
+        echo "run $i FAILED (see /tmp/scaling_grind.err)"
+        sleep 30
+    fi
+    done=$((done + 1))
+done
+echo "grind exit after $done cycles"
