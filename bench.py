@@ -539,6 +539,12 @@ def run_scaling() -> dict:
         "efficiency_saturated":
             sizes[saturated]["efficiency"] if saturated else None,
         "sizes": sizes,
+        "gate": {  # active gate thresholds, for tiered-launch audit
+            "quiet_gbps": QUIET_GBPS,
+            "during_gbps": QUIET_DURING_GBPS,
+            "attempts": QUIET_ATTEMPTS,
+            "wait_s": QUIET_WAIT_S,
+        },
         "cpu_probe": cpu_probe(),
         "mem_probe": mem_probe(),
     }

@@ -30,9 +30,15 @@ while [ $done -lt "$MAX_RUNS" ]; do
     i=1
     while [ -e "SCALING_r05_run$i.json" ]; do i=$((i + 1)); done
     launched=0
-    for tier in "6.0 1500" "4.0 600"; do
+    # third field: in-run per-rep gate (GRAFT_QUIET_GBPS) aligned with
+    # the launch tier — a tier-2 run would otherwise burn its 8x20 s
+    # per-rep wait on a 5.0 bar its own launch gate already relaxed to
+    # 4.0.  Raw per-rep probe values stay recorded in the run JSON
+    # either way; only the defer/qualify threshold moves.
+    for tier in "6.0 1500 5.0" "4.0 600 4.0"; do
         set -- $tier
-        gbps=$1; maxwait=$2
+        gbps=$1; maxwait=$2; inrun=$3
+        GRAFT_QUIET_GBPS=$inrun \
         python scripts/quiet_launch.py --gbps "$gbps" --period 60 \
             --consecutive 2 --max-wait "$maxwait" -- \
             python bench.py --scaling 2>>/tmp/scaling_grind.err \
