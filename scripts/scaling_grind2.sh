@@ -21,6 +21,11 @@ set -u
 cd /root/repo
 MAX_RUNS=${1:-40}
 MAX_SECS=${2:-16000}
+# 3 reps on the primary 300k legs (was 2): the estimator is
+# best-QUALIFYING-rep per leg, so during storm-dominated sessions an
+# extra rep is an extra chance to catch an in-storm lull; estimator and
+# measured job unchanged, per-rep probe triples still recorded per run.
+export GRAFT_SCALING_SIZES=${GRAFT_SCALING_SIZES:-"300000:3,1000000:2"}
 t0=$(date +%s)
 done=0
 while [ $done -lt "$MAX_RUNS" ]; do
