@@ -6,6 +6,19 @@ import pytest
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# This host has an uncontrolled co-tenant that steals CPU in bursts
+# (see BASELINE.md's quiet-window protocol); hypothesis's too_slow
+# health check measures wall-clock data generation and flakes under
+# such a burst even though every property test pins deadline=None.
+# Suppress just that check globally — per-test @settings don't set
+# suppress_health_check, so the profile value applies everywhere.
+from hypothesis import HealthCheck, settings as _hyp_settings
+
+_hyp_settings.register_profile(
+    "shared_host", suppress_health_check=[HealthCheck.too_slow]
+)
+_hyp_settings.load_profile("shared_host")
+
 
 @pytest.fixture(scope="session")
 def ray_session():
