@@ -205,7 +205,13 @@ def _scaling_build(num_cpus: int, n_docs: int | None = None) -> dict:
     n_docs = manifest["num_docs"]
     return {"num_cpus": num_cpus, "build_sec": round(build_s, 3),
             "n_docs": n_docs,
-            "files_per_sec": round(n_docs / build_s, 1)}
+            "files_per_sec": round(n_docs / build_s, 1),
+            # per-rep stage decomposition: the run-level stages_{n}cpu
+            # snapshot only reflects each leg's LAST rep (the manifest is
+            # rewritten per build), which on stormy days attributes one
+            # poisoned rep's weather to the whole leg; carrying the split
+            # on every rep lets the summary decompose the BEST rep
+            "stage_seconds": manifest.get("stage_seconds")}
 
 
 def cpu_probe() -> dict:
