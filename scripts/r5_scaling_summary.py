@@ -73,6 +73,40 @@ def main() -> None:
             print(f"pooled best legs {size}: 4cpu {b4:,.0f} f/s, "
                   f"16cpu {b16:,.0f} f/s -> efficiency "
                   f"{(b16 / b4) / 4:.3f}")
+    stage_split(runs)
+
+
+def stage_split(runs: list) -> None:
+    """Per-stage efficiency of the pooled BEST rep per leg, for runs
+    whose reps carry ``stage_seconds`` (recorded per rep from run 5 on;
+    earlier runs only snapshot each leg's LAST rep at the run level,
+    which mis-attributes one poisoned rep's weather to the whole leg).
+    This is the criterion statement's CPU-bound-vs-copy-bound split:
+    tokenize is the compute term, exchange the shared-bus copy term."""
+    for size in ("300000", "1000000"):
+        best = {}
+        for _, d in runs:
+            s = d["sizes"].get(size)
+            if not s:
+                continue
+            for cpus in (4, 16):
+                for rep in s["reps"][str(cpus)]:
+                    if not rep.get("stage_seconds"):
+                        continue
+                    cur = best.get(cpus)
+                    if cur is None or rep["files_per_sec"] > cur[0]:
+                        best[cpus] = (rep["files_per_sec"],
+                                      rep["stage_seconds"])
+        if len(best) < 2:
+            continue
+        parts = []
+        for st in best[4][1]:
+            t4, t16 = best[4][1][st], best[16][1].get(st)
+            if not t16:
+                continue
+            parts.append(f"{st} {(t4 / t16) / 4:.2f} "
+                         f"({t4:.0f}s->{t16:.0f}s)")
+        print(f"best-rep stage efficiencies {size}: " + ", ".join(parts))
 
 
 if __name__ == "__main__":
