@@ -22,6 +22,7 @@ from typing import Any
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 # whitespace tokenization as SQL (empty tokens filtered, 1-based positions
 # recomputed over non-empty tokens — matches Python str.split())
@@ -101,6 +102,52 @@ def q_index_term_stats(sf_dir: str) -> pa.Table:
             "term": pa.array(terms, type=pa.string()),
             "df": pa.array(df),
             "cf": pa.array(cf),
+        }
+    )
+
+
+def q_legacy_term_stats(sf_dir: str) -> pa.Table:
+    """Legacy v0 export verified end-to-end against SQL (S10, r5).
+
+    Exports the whitespace index to the legacy fixed-4-byte format
+    (`legacy.export_legacy_index`), then reads (term, df, cf,
+    word_sum) back FROM THE LEGACY BYTES with pure arithmetic — no
+    posting walk:
+
+    - ``df`` is the block's first word;
+    - ``cf`` falls out of the block length: words = 1 + 2*df + cf;
+    - ``word_sum`` (sum of every 4-byte word in the block) telescopes:
+      sum(doc_gaps) = max doc_id, sum(n_pos) = cf, and each posting's
+      position gaps sum to its max position — so
+      word_sum = df + max(doc_id) + cf + sum over docs of max(pos).
+
+    The oracle recomputes all four from the source table, so a
+    hash-green row pins the exported bytes (offsets, block sizes, df
+    words, and the gap contents via the telescoped sums) to the SQL
+    tokenization ground truth.
+    """
+    from searchengine_ray.legacy import export_legacy_index
+
+    index_dir = _build_ws_index(sf_dir)
+    out_dir = index_dir + "_legacy"
+    if not os.path.exists(os.path.join(out_dir, "legacy_manifest.json")):
+        export_legacy_index(index_dir, out_dir)
+    tp = pq.read_table(os.path.join(out_dir, "term_positions.parquet"))
+    terms = tp.column("term").to_pylist()
+    offs = tp.column("position").to_numpy()
+    with open(os.path.join(out_dir, "postings.bin"), "rb") as f:
+        words = np.frombuffer(f.read(), dtype="<u4").astype(np.int64)
+    starts = offs // 4
+    block_words = np.append(starts[1:], words.size) - starts
+    df = words[starts]
+    cf = block_words - 1 - 2 * df
+    word_sum = np.add.reduceat(words, starts)
+    return pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "df": pa.array(df, type=pa.int64()),
+            "cf": pa.array(cf, type=pa.int64()),
+            "word_sum": pa.array(word_sum, type=pa.int64()),
         }
     )
 
@@ -662,6 +709,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "index_term_stats": q_index_term_stats,
+        "legacy_term_stats": q_legacy_term_stats,
         "doc_lengths": q_doc_lengths,
         "content_integrity": q_content_integrity,
         "bm25_topk": q_bm25_topk,
@@ -766,6 +814,21 @@ def oracle_sql() -> dict[str, str]:
             WITH {_TOK}
             SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf
             FROM tf GROUP BY term ORDER BY term
+        """,
+        # legacy v0 block arithmetic from source: the block's word sum
+        # telescopes to df + max(doc_id) + cf + sum(max pos per doc)
+        # (doc gaps and per-posting position gaps are deltas, so they
+        # sum to their final absolute values)
+        "legacy_term_stats": f"""
+            WITH {_TOK},
+            agg AS (
+              SELECT term, doc_id, count(*) AS tf, max(pos) AS maxpos
+              FROM tok GROUP BY 1, 2
+            )
+            SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf,
+                   (count(*) + max(doc_id) + sum(tf)
+                    + sum(maxpos))::BIGINT AS word_sum
+            FROM agg GROUP BY term ORDER BY term
         """,
         "doc_lengths": f"""
             WITH {_TOK},
