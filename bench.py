@@ -557,6 +557,12 @@ def run_scaling() -> dict:
 
 
 BENCH_REPS = int(os.environ.get("GRAFT_BENCH_REPS", "3"))
+#: Extra gated reps taken ONLY when none of the first BENCH_REPS reps
+#: qualified (every window contended) — one more bounded chance to catch
+#: an in-storm lull so the driver's recorded number measures the code.
+#: Round-5 motivation: a 9.7 h co-tenant storm with ~3% quiet fraction
+#: (SCALING_r05_weather.jsonl) makes 3-in-a-row contended reps likely.
+BENCH_RESCUE_REPS = int(os.environ.get("GRAFT_BENCH_RESCUE_REPS", "2"))
 
 
 def run_default() -> dict:
@@ -573,7 +579,9 @@ def run_default() -> dict:
     steady-state the throughput criterion describes)."""
     reps: list[dict] = []
     best: dict | None = None
-    for i in range(max(1, BENCH_REPS)):
+    base_reps = max(1, BENCH_REPS)
+    i = 0
+    while i < base_reps + max(0, BENCH_RESCUE_REPS):
         pre_g, pre_ok = _await_quiet_window()
         # reps are ~5-10 s: sample INSIDE the window at a short period so
         # the rep carries its own evidence.  The post probe is recorded
@@ -606,9 +614,15 @@ def run_default() -> dict:
         elif (out["window_ok"] == best["window_ok"]
               and out["value"] < best["value"]):
             best = out
+        i += 1
         # stop early once two qualifying reps agree the window is quiet —
         # a third adds little and the driver's wall-clock budget is shared
         if sum(1 for r in reps if r["window_ok"]) >= 2:
+            break
+        # past the base reps we are in rescue territory: those extra reps
+        # exist only to land ONE qualifying measurement, so stop at the
+        # first (or exhaust the bounded rescue budget)
+        if i >= base_reps and any(r["window_ok"] for r in reps):
             break
     assert best is not None
     best["window"] = "quiet" if best["window_ok"] else "contended"
