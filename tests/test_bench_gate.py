@@ -80,3 +80,85 @@ class TestRepSelection:
                   and out["value"] < best["value"]):
                 best = out
         assert best["value"] == 7.0 and best["window_ok"]
+
+
+class _FakeSampler:
+    """Stand-in for bench._DuringSampler with scripted quietness."""
+
+    def __init__(self, ok):
+        self.ok = ok
+        self.samples = []
+        self.min_gbps = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+
+class TestRescueReps:
+    """run_default's bounded rescue policy (round 5): when every base
+    rep is contended, up to BENCH_RESCUE_REPS extra gated reps run and
+    the loop stops at the first qualifying one; quiet base runs are
+    unchanged (early exit at two qualifying reps, never any rescue)."""
+
+    def _drive(self, monkeypatch, pre_ok_seq, base=3, rescue=2):
+        calls = {"n": 0}
+        seq = iter(pre_ok_seq)
+
+        def fake_await():
+            return 5.0, next(seq)
+
+        def fake_single(n):
+            calls["n"] += 1
+            return {
+                "value": 10.0 + calls["n"],  # later reps strictly SLOWER
+                "build_files_per_sec": 100.0 + calls["n"],
+                "bm25_p50_ms": 1.0,
+                "queries": {},
+            }
+
+        monkeypatch.setattr(bench, "BENCH_REPS", base)
+        monkeypatch.setattr(bench, "BENCH_RESCUE_REPS", rescue)
+        monkeypatch.setattr(bench, "_await_quiet_window", fake_await)
+        monkeypatch.setattr(bench, "run_single", fake_single)
+        monkeypatch.setattr(bench, "_post_probe", lambda: 5.0)
+        monkeypatch.setattr(bench, "_DuringSampler",
+                            lambda period_s: _FakeSampler(ok=True))
+        monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+        out = bench.run_default()
+        return out, calls["n"]
+
+    def test_all_contended_exhausts_base_plus_rescue(self, monkeypatch):
+        out, n = self._drive(monkeypatch, [False] * 5)
+        assert n == 5  # 3 base + 2 rescue
+        assert out["window"] == "contended"
+        assert len(out["reps"]) == 5
+
+    def test_quiet_base_never_rescues(self, monkeypatch):
+        out, n = self._drive(monkeypatch, [True] * 5)
+        assert n == 2  # early exit at two qualifying reps
+        assert out["window"] == "quiet"
+
+    def test_one_quiet_base_rep_stops_at_base(self, monkeypatch):
+        out, n = self._drive(monkeypatch, [False, True, False, True, True])
+        assert n == 3  # a qualifying rep exists: no rescue territory
+        assert out["window"] == "quiet"
+        assert out["reps"][1]["window_ok"]
+
+    def test_rescue_stops_at_first_qualifying(self, monkeypatch):
+        out, n = self._drive(monkeypatch, [False, False, False, True, True])
+        assert n == 4  # one rescue rep was enough
+        assert out["window"] == "quiet"
+        assert out["value"] == out["reps"][3]["value"]
+
+    def test_qualifying_rescue_beats_faster_contended(self, monkeypatch):
+        # every contended rep is strictly faster (lower total seconds)
+        # than the final quiet rescue rep — the quiet one must still win
+        # the headline (window quality outranks the metric)
+        out, n = self._drive(monkeypatch, [False, False, False, False, True])
+        assert n == 5
+        assert out["window"] == "quiet"
+        assert out["window_ok"]
+        assert out["value"] == max(r["value"] for r in out["reps"])
