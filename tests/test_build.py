@@ -269,6 +269,62 @@ class TestResume:
         assert before == after  # nothing rebuilt
         assert m2["num_docs"] == manifest["num_docs"]
 
+    def test_interrupted_segment_stage_resumes(self, ray_session, tmp_path):
+        """Mid-build crash between the two checkpoints: docterms stage
+        committed, segments stage interrupted (its marker and output
+        gone).  The re-run must skip tokenize entirely — the docterms
+        and docstats files stay byte-untouched on disk — and rebuild
+        only the exchange, landing on segment content identical to the
+        uninterrupted build (the exchange is deterministic)."""
+        import shutil
+
+        import pyarrow.compute as pc
+        import ray.data
+
+        from searchengine_ray.build import IndexBuildConfig, build_index
+        from searchengine_ray.corpus import synthetic_corpus_table
+
+        tbl = synthetic_corpus_table(60, seed=11)
+        d = str(tmp_path / "idx")
+        cfg = IndexBuildConfig(num_buckets=2, tokenize_concurrency=(1, 2))
+        ds = ray.data.from_arrow(tbl)
+        m1 = build_index(ds, d, cfg, input_description="crash-test")
+
+        def seg_digest():
+            segdir = os.path.join(d, "segments")
+            h = hashlib.sha256()
+            for fn in sorted(f for f in os.listdir(segdir)
+                             if f.endswith(".parquet")):
+                t = pq.read_table(os.path.join(segdir, fn))
+                t = t.take(pc.sort_indices(t, sort_keys=[
+                    ("term", "ascending"), ("shard", "ascending"),
+                    ("bucket", "ascending"), ("salt", "ascending")]))
+                for col in sorted(t.column_names):
+                    h.update(str(t.column(col).to_pylist()).encode())
+            return h.hexdigest()
+
+        digest1 = seg_digest()
+
+        def tree_mtimes(sub):
+            root = os.path.join(d, sub)
+            return {f: os.path.getmtime(os.path.join(root, f))
+                    for f in os.listdir(root)}
+
+        dt_before = tree_mtimes("docterms")
+        st_before = tree_mtimes("docstats")
+
+        # simulate the crash: segments stage never committed
+        os.remove(os.path.join(d, "_STAGE_segments.json"))
+        shutil.rmtree(os.path.join(d, "segments"))
+
+        m2 = build_index(ds, d, cfg, input_description="crash-test")
+
+        assert tree_mtimes("docterms") == dt_before  # tokenize skipped
+        assert tree_mtimes("docstats") == st_before
+        assert seg_digest() == digest1               # exchange rebuilt =
+        assert m2["num_docs"] == m1["num_docs"]
+        assert m2["total_tokens"] == m1["total_tokens"]
+
     def test_changed_fingerprint_rebuilds(self, ray_session, tmp_path):
         import ray.data
 
