@@ -281,6 +281,17 @@ _POSTINGS_SCHEMA = pa.schema(
         ("doc_length", pa.int32()),
         ("tftd", pa.int32()),
         ("pos_blob", pa.binary()),
+        # dense-segment id: the FIRST doc id of the dense-consecutive doc
+        # run this posting's block slice came from (docterms v4).  Two
+        # dense runs can never share their first doc, so the id is
+        # globally unique per segment, and the fragment encoder breaks
+        # runs on seg change — without it, two ASCENDING same-term runs
+        # from segments whose ranges straddle a hole owned by another
+        # segment (e.g. batch composed of blocks [0], [2..3] with [1]
+        # elsewhere) would merge into one fragment whose doc RANGE
+        # overlaps the other segment's fragment, aborting the reduce.
+        # Constant per run -> RLE/dict-encodes to ~nothing on disk.
+        ("seg", pa.int64()),
     ]
 )
 
@@ -339,6 +350,8 @@ def _group_segment(cfg: IndexBuildConfig, tok: pa.Table) -> pa.Table:
             "doc_length": pa.array(dls[order]),
             "tftd": pa.array(tftds[order].astype(np.int32, copy=False)),
             "pos_blob": pos_blob.take(pa.array(order)),
+            "seg": pa.array(
+                np.full(order.size, doc_np[0], dtype=np.int64)),
         },
         schema=_POSTINGS_SCHEMA,
     )
@@ -448,6 +461,7 @@ def _explode_arrays(
     pos_blob = _as_array(batch.column("pos_blob"))
     buckets = _as_array(batch.column("bucket")).to_numpy(
         zero_copy_only=False).astype(np.int64)
+    segs = _as_array(batch.column("seg")).to_numpy(zero_copy_only=False)
 
     shards = doc_ids // dps
     salts = np.zeros(codes.size, dtype=np.int64)
@@ -468,6 +482,7 @@ def _explode_arrays(
         "tftds": tftds,
         "pos_blob": pos_blob,
         "gkey": gkey,
+        "seg": segs,
     }
 
 
@@ -544,7 +559,13 @@ SEGMENT_FORMAT = 4
 # map CPU, measured, in the ONE stage that doesn't scale on a shared
 # bus); per-doc metadata (title, doc_length, l_d, sha256 — including
 # zero-term docs) moves to a small sibling ``docstats/`` directory.
-DOCTERMS_FORMAT = 3
+# v4: every posting row carries its dense-segment id (``seg`` = first
+# doc of its dense-consecutive run) so the fragment encoder never merges
+# runs across segment seams — ascending-but-hole-straddling merges made
+# fragment doc ranges overlap under interleaved executor rebatching
+# (caught by the reducer backstop as a spurious build abort; found by
+# the round-5 hypothesis property test over random segment packings).
+DOCTERMS_FORMAT = 4
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -649,7 +670,7 @@ def _map_runs(
         tbl = pq.read_table(
             path,
             columns=["term", "bucket", "doc_id", "doc_length", "tftd",
-                     "pos_blob"],
+                     "pos_blob", "seg"],
             read_dictionary=["term"],
         )
         prof["read"] += time.perf_counter() - t
@@ -676,7 +697,8 @@ def _map_runs(
         # their parent buffers alive, and holding a whole file group's
         # data made big maps page-cache hostile at the 2M-doc scale
         frag_tbl, frag_gkeys = _encode_file_fragments(
-            cfg, gk, codes_s, doc_s, wq_s, tf_s, pos_s, uniq
+            cfg, gk, codes_s, doc_s, wq_s, tf_s, pos_s, uniq,
+            seg=arrs["seg"],
         )
         prof["encode"] = prof.get("encode", 0.0) + (time.perf_counter() - t)
         t = time.perf_counter()
@@ -753,6 +775,7 @@ def _encode_file_fragments(
     tf32: np.ndarray,
     pos_arr: pa.Array,
     uniq: np.ndarray,
+    seg: np.ndarray | None = None,
 ) -> tuple[pa.Table, np.ndarray]:
     """One docterms file's sorted postings -> a ``_WIRE_SCHEMA`` fragment
     table, one row per (gkey, term) run, fully VByte-encoded.
@@ -779,19 +802,29 @@ def _encode_file_fragments(
         doc_n = doc
     new = np.empty(n, dtype=bool)
     new[0] = True
-    # Break a run on (gkey, term) change AND on any non-ascending doc id:
+    # Break a run on (gkey, term) change, on any non-ascending doc id,
+    # AND on dense-segment change (docterms v4 ``seg`` column):
     # one docterms file can hold two dense segments whose group orders
     # abut on the same (gkey, term) — e.g. segment A ends with term t and
-    # segment B starts with it.  Treating that as one run would delta-
-    # encode a non-positive seam gap, which _as_unsigned silently wraps
-    # into a huge doc id.  Splitting here keeps each segment's occurrence
-    # its own fragment; the reducer merges fragments by first_doc and its
-    # seam check guards the inter-fragment gaps.
+    # segment B starts with it.  Treating that as one run would either
+    # delta-encode a non-positive seam gap (which _as_unsigned silently
+    # wraps into a huge doc id) when B's docs are lower, or — when B's
+    # docs happen to be ASCENDING past A's — produce one fragment whose
+    # doc RANGE spans the hole between the segments, overlapping a third
+    # segment's fragment that owns docs inside that hole and tripping
+    # the reducer's disjoint-range check on perfectly legal executor
+    # rebatching.  A fragment never crosses a segment seam, so its range
+    # stays inside its dense run and ranges are provably pairwise
+    # disjoint (two dense runs cannot overlap without sharing a doc id);
+    # the reducer merges fragments by first_doc and its seam check
+    # guards the inter-fragment gaps.
     new[1:] = (
         (gk[1:] != gk[:-1])
         | (codes[1:] != codes[:-1])
         | (doc_n[1:] <= doc_n[:-1])
     )
+    if seg is not None:
+        new[1:] |= seg[1:] != seg[:-1]
     run_starts = np.flatnonzero(new)
     run_ends = np.append(run_starts[1:], n)
     n_frag = run_starts.size

@@ -23,6 +23,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from hypothesis import given, settings as hyp_settings, strategies as st
 
 from searchengine_ray import vbyte
 from searchengine_ray.build import (
@@ -43,15 +44,27 @@ def _gkey(shard: int, bucket: int, salt: int, B: int) -> int:
     return (shard * B + bucket) * SALT_WIDTH + salt
 
 
-def _encode_file(cfg, rows):
+def _encode_file(cfg, rows, seg_of=None):
     """rows: list of (gkey, term, doc_id, tftd, dl, pos_payload bytes).
 
     Replays _map_runs' prep: stable sort by (gkey, first-seen term code)
-    preserving ascending doc order inside each run.
+    preserving ascending doc order inside each run.  ``seg_of``
+    (doc_id -> dense-segment id, i.e. the first doc of the doc's dense
+    run — the docterms v4 ``seg`` column) defaults to reconstructing
+    dense runs from the file's own doc set, which matches production for
+    every fixture whose segments ARE the file's dense runs; fixtures
+    with interleaved segmentations pass the true mapping explicitly.
     """
     code_of: dict = {}
     for _, term, *_ in rows:
         code_of.setdefault(term, len(code_of))
+    if seg_of is None:
+        docs_sorted = sorted({r[2] for r in rows})
+        seg_of, lo = {}, None
+        for prev, d in zip([None] + docs_sorted, docs_sorted):
+            if prev is None or d != prev + 1:
+                lo = d
+            seg_of[d] = lo
     rows = sorted(rows, key=lambda r: (r[0], code_of[r[1]]))
     gk = np.array([r[0] for r in rows], dtype=np.int64)
     codes = np.array([code_of[r[1]] for r in rows], dtype=np.int64)
@@ -61,7 +74,9 @@ def _encode_file(cfg, rows):
     wq = wdt_quantized(tf, dl, AVGDL)
     pos = pa.array([r[5] for r in rows], type=pa.binary())
     uniq = np.array(list(code_of), dtype=object)
-    return _encode_file_fragments(cfg, gk, codes, doc, wq, tf, pos, uniq)
+    seg = np.array([seg_of[r[2]] for r in rows], dtype=np.int64)
+    return _encode_file_fragments(cfg, gk, codes, doc, wq, tf, pos, uniq,
+                                  seg=seg)
 
 
 def _finalize(cfg, tables, tmp_path):
@@ -335,9 +350,15 @@ def test_finalize_rejects_overlapping_fragments(tmp_path):
     gk = _gkey(0, 0, 0, 2)
     f1 = [(gk, "t", d, 1, 5.0, b"x") for d in (0, 5)]
     f2 = [(gk, "t", d, 1, 5.0, b"x") for d in (3, 9)]  # overlaps f1
+    # explicit seg ids simulate a BROKEN upstream that stamped holes-
+    # spanning postings as one dense segment each (a correct group stage
+    # would emit four single-doc segments here, which merge cleanly) —
+    # the reducer must reject the resulting range overlap loudly
     with pytest.raises(ValueError, match="overlapping doc ranges"):
         _finalize(
-            cfg, [_encode_file(cfg, f1)[0], _encode_file(cfg, f2)[0]],
+            cfg,
+            [_encode_file(cfg, f1, seg_of={0: 0, 5: 0})[0],
+             _encode_file(cfg, f2, seg_of={3: 3, 9: 3})[0]],
             tmp_path)
 
 
@@ -377,6 +398,115 @@ def test_abutting_segments_same_term_split_and_roundtrip(tmp_path):
     tfs = vbyte.decode(seg.column("tf_blob")[0].as_py(), count=df)
     assert tfs.tolist() == [1 + d % 3 for d in range(4, 12)]
     assert seg.column("pos_blob")[0].as_py() == bytes(range(4, 12))
+
+
+@st.composite
+def _segment_layouts(draw):
+    """A random dense corpus cut into consecutive segments, the segments
+    permuted and packed into files — the general form of the abutting-
+    segments regression (any same-(gkey, term) adjacency, any order,
+    including lower-doc-range-after-higher within one file)."""
+    n_docs = draw(st.integers(min_value=4, max_value=40))
+    n_cuts = draw(st.integers(min_value=0, max_value=5))
+    cuts = sorted(draw(st.sets(
+        st.integers(min_value=1, max_value=n_docs - 1),
+        min_size=min(n_cuts, n_docs - 1),
+        max_size=min(n_cuts, n_docs - 1))))
+    bounds = [0] + cuts + [n_docs]
+    segments = [range(lo, hi) for lo, hi in zip(bounds, bounds[1:])]
+    # permute by drawn priorities (stable argsort keeps shrinking sane)
+    prios = draw(st.lists(st.integers(min_value=0, max_value=100),
+                          min_size=len(segments), max_size=len(segments)))
+    order = sorted(range(len(segments)), key=lambda i: (prios[i], i))
+    segments = [segments[i] for i in order]
+    n_files = draw(st.integers(min_value=1, max_value=3))
+    file_of = draw(st.lists(st.integers(min_value=0, max_value=n_files - 1),
+                            min_size=len(segments), max_size=len(segments)))
+    # term membership rules: term i appears in doc d iff (d+off) % m == 0;
+    # the first term has m=1 so every doc (hence every file with a
+    # segment) carries at least one posting
+    n_terms = draw(st.integers(min_value=1, max_value=4))
+    rules = [(1, 0)] + [
+        (draw(st.integers(min_value=2, max_value=4)),
+         draw(st.integers(min_value=0, max_value=3)))
+        for _ in range(n_terms - 1)
+    ]
+    return segments, file_of, n_files, rules
+
+
+@given(_segment_layouts(), st.sampled_from([2, 4]))
+@hyp_settings(max_examples=40, deadline=None)
+def test_fragment_roundtrip_random_segment_interleavings(layout, skip_block):
+    """Property form of the r4-advice regression: for ANY partition of a
+    dense doc range into segments, ANY segment order, and ANY packing of
+    segments into files, encode-per-file + reduce must reproduce the
+    exact doc/tf/pos streams per (gkey, term) — fragments split wherever
+    doc ids stop ascending and the reducer reassembles them by first_doc."""
+    import tempfile
+    import zlib
+
+    segments, file_of, n_files, rules = layout
+    cfg = IndexBuildConfig(num_buckets=2, skip_block=skip_block)
+
+    def postings_of(seg):
+        rows = []
+        for d in seg:
+            for ti, (m, off) in enumerate(rules):
+                if (d + off) % m:
+                    continue
+                t = f"t{ti}"
+                rows.append((
+                    _gkey(0, zlib.crc32(t.encode()) % cfg.num_buckets, 0,
+                          cfg.num_buckets),
+                    t, d, 1 + (d + ti) % 5, 5.0 + d % 7,
+                    bytes([(d + ti) % 251 + 1]) * (1 + d % 2),
+                ))
+        return rows
+
+    files = [[] for _ in range(n_files)]
+    seg_of = {}
+    for seg, f in zip(segments, file_of):
+        files[f].extend(postings_of(seg))
+        for d in seg:
+            seg_of[d] = seg.start
+    tables = [_encode_file(cfg, rows, seg_of=seg_of)[0]
+              for rows in files if rows]
+
+    # expectation: per (gkey, term), triples sorted by doc id
+    exp: dict = {}
+    for rows in files:
+        for gkey, term, doc, tf, dl, pos in rows:
+            exp.setdefault((gkey, term), []).append((doc, tf, pos))
+    for key in exp:
+        exp[key].sort()
+
+    with tempfile.TemporaryDirectory() as td:
+        seg_tbl, meta = _finalize(cfg, tables, td)
+    assert seg_tbl.num_rows == len(exp)
+    for i in range(seg_tbl.num_rows):
+        row = {c: seg_tbl.column(c)[i].as_py()
+               for c in seg_tbl.column_names}
+        key = (_gkey(row["shard"], row["bucket"], row["salt"],
+                     cfg.num_buckets), row["term"])
+        triples = exp[key]
+        df = row["df"]
+        assert df == len(triples)
+        docs = _decode_docs(row["blob"], df)
+        assert docs.tolist() == [t[0] for t in triples]
+        tfs = vbyte.decode(row["tf_blob"], count=df)
+        assert tfs.tolist() == [t[1] for t in triples]
+        assert row["pos_blob"] == b"".join(t[2] for t in triples)
+        # every skip block slice-decodes independently
+        offs, counts = row["skip_offset"], row["skip_count"]
+        assert sum(counts) == df
+        base, p = 0, 0
+        for b, cnt in enumerate(counts):
+            end = offs[b + 1] if b + 1 < len(offs) else len(row["blob"])
+            gaps = vbyte.decode(row["blob"][offs[b]:end], count=cnt)
+            bdocs = base + np.cumsum(gaps.astype(np.int64))
+            assert bdocs.tolist() == [t[0] for t in triples[p:p + cnt]]
+            assert row["skip_last_doc"][b] == bdocs[-1]
+            base, p = int(bdocs[-1]), p + cnt
 
 
 def test_equal_doc_id_runs_also_split(tmp_path):
