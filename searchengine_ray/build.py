@@ -11,7 +11,7 @@ Ray-Data-native rebuild:
     -> assign_doc_ids (one explicit global decision, ids.py)
     -> map_batches(TokenizeDocs actor pool)          # SPIMI block ≙ Ray block
          emits per-doc rows: doc stats + per-term (tftd, VByte pos blob)
-    -> explode + group by (bucket, term, doc) per block (docterms v3)
+    -> explode + group by (bucket, term, doc) per block (docterms v4)
          -> write docterms/  (exploded postings, resumable intermediate)
          -> side-write docstats/ (per-doc title/doc_length/l_d/sha256,
             incl. zero-term docs; doc-range file names, idempotent)
@@ -429,12 +429,12 @@ def _write_docstats_block(docstats_dir: str, tbl: pa.Table) -> None:
 def _explode_arrays(
     cfg: IndexBuildConfig, heavy: dict[str, int], batch: pa.Table
 ) -> dict | None:
-    """docterms v3 postings table -> flat per-(doc, term) arrays for the
+    """docterms v4 postings table -> flat per-(doc, term) arrays for the
     exchange, IN FILE ORDER (already grouped by (bucket, term, doc) at
     tokenize time — see ``_group_postings_batch``): no sort, no gather.
 
     Positions arrive ALREADY VByte-encoded per row (since v2) and now
-    already fragment-contiguous (v3), so the map slices final on-disk
+    already fragment-contiguous and seam-stamped (v4), so the map slices final on-disk
     bytes straight off the parquet buffers.  Term identity comes from
     dictionary codes (parquet dictionary pages via ``read_dictionary``
     — no per-term re-hash of a flat string column), and the bucket rides
@@ -679,7 +679,7 @@ def _map_runs(
         prof["explode"] += time.perf_counter() - t
         if arrs is None:
             continue
-        # docterms v3: rows arrive grouped by (bucket, term, doc) from the
+        # docterms v4: rows arrive grouped by (bucket, term, doc) from the
         # tokenize stage, and shard/salt are non-decreasing in doc within
         # each group — every (gkey, term) run is ALREADY a contiguous
         # ascending-doc slice.  The sort+gather the v2 map did here (60%
@@ -781,7 +781,7 @@ def _encode_file_fragments(
     table, one row per (gkey, term) run, fully VByte-encoded.
 
     Inputs are the file's posting arrays with every (gkey, term) run
-    CONTIGUOUS and doc ids ascending inside each run (docterms v3 files
+    CONTIGUOUS and doc ids ascending inside each run (docterms v4 files
     are written this way by the tokenize stage; the same run may appear
     more than once per file after block coalescing — each occurrence
     becomes its own fragment and the reducer merges them by first_doc).
@@ -1100,7 +1100,7 @@ def _finalize_segment(
         # violated or ids not ascending); fail loudly, never corrupt
         raise ValueError(
             "fragments of one term cover overlapping doc ranges; the "
-            "docterms v3 disjoint-range invariant is broken (rebuild "
+            "docterms v4 disjoint-range invariant is broken (rebuild "
             "with ids.assign_doc_ids-ordered input)"
         )
     old_len8 = vbyte.encoded_lengths(fd_s)
@@ -1799,7 +1799,7 @@ def build_index(
         ).map_batches(
             # rebatch to docterms_block_rows DOCS, then explode + group
             # each block by (bucket, term, doc) and side-write its per-doc
-            # stats (docterms v3): the one unavoidable gather of the
+            # stats (docterms v4): the one unavoidable gather of the
             # position payload runs HERE, in the embarrassingly-parallel
             # stage, never in the exchange
             _group_and_sidewrite,
