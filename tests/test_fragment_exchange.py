@@ -509,6 +509,48 @@ def test_fragment_roundtrip_random_segment_interleavings(layout, skip_block):
             base, p = int(bdocs[-1]), p + cnt
 
 
+def test_hole_straddling_segments_end_to_end(tmp_path):
+    """End-to-end over the PRODUCTION row order (grouped parts
+    concatenated by _group_postings_batch, round-tripped through a
+    docterms parquet file): a batch interleaved as dense blocks
+    [0], [2..3], [1] — the first two ASCEND across their seam while
+    straddling the hole that block [1] owns.  Pre-v4 the encoder merged
+    the straddling runs into one fragment whose doc range overlapped
+    block [1]'s fragment and the reducer aborted a legal build; the seg
+    column must keep every fragment inside its dense run so the merge
+    succeeds and reproduces the exact postings."""
+    from searchengine_ray.build import _explode_arrays, _group_postings_batch
+
+    cfg = IndexBuildConfig(num_buckets=2, skip_block=4)
+    docs = [0, 2, 3, 1]
+    terms = [["x", "y"] for _ in docs]  # every term in every doc
+    postings, _ = _group_postings_batch(cfg, _tok_table(docs, terms))
+    path = os.path.join(str(tmp_path), "docterms_test.parquet")
+    pq.write_table(postings, path)
+
+    tbl = pq.read_table(
+        path,
+        columns=["term", "bucket", "doc_id", "doc_length", "tftd",
+                 "pos_blob", "seg"],
+        read_dictionary=["term"],
+    )
+    arrs = _explode_arrays(cfg, {}, tbl)
+    wq = wdt_quantized(arrs["tftds"], arrs["dls"].astype(np.float64), AVGDL)
+    frag_tbl, _ = _encode_file_fragments(
+        cfg, arrs["gkey"], arrs["codes"], arrs["doc_ids"], wq,
+        arrs["tftds"], arrs["pos_blob"], arrs["uniq"], seg=arrs["seg"])
+    # 3 dense segments x 2 terms -> one fragment each, ranges disjoint
+    assert frag_tbl.num_rows == 6
+
+    seg_tbl, _ = _finalize(cfg, [frag_tbl], tmp_path)
+    assert seg_tbl.num_rows == 2
+    for i in range(seg_tbl.num_rows):
+        row = {c: seg_tbl.column(c)[i].as_py()
+               for c in seg_tbl.column_names}
+        assert row["df"] == 4
+        assert _decode_docs(row["blob"], 4).tolist() == [0, 1, 2, 3]
+
+
 def test_equal_doc_id_runs_also_split(tmp_path):
     """Duplicate (gkey, term, doc) occurrences (can only arise from a
     broken upstream) must not silently zero-gap encode: the run detector
