@@ -439,6 +439,16 @@ SCALING_SIZES = [
 ]
 
 
+def _code_versions() -> dict:
+    """Format revisions of the code under measurement, recorded in each
+    scaling-run JSON so the summary can group same-code cohorts (the
+    round-4/5 medians mix docterms v2/v3/v4 runs otherwise)."""
+    from searchengine_ray.build import DOCTERMS_FORMAT, SEGMENT_FORMAT
+
+    return {"docterms_format": DOCTERMS_FORMAT,
+            "segment_format": SEGMENT_FORMAT}
+
+
 def run_scaling() -> dict:
     """The same disk->index build at N and 4N CPUs in fresh processes, at
     two corpus sizes (sub-saturation + saturated; see SCALING_SIZES).
@@ -551,6 +561,7 @@ def run_scaling() -> dict:
             "attempts": QUIET_ATTEMPTS,
             "wait_s": QUIET_WAIT_S,
         },
+        "code": _code_versions(),  # which format revisions the run measured
         "cpu_probe": cpu_probe(),
         "mem_probe": mem_probe(),
     }

@@ -30,14 +30,20 @@ def main() -> None:
     subsat = [d["efficiency_subsat"] for _, d in runs]
     sat = [d["efficiency_saturated"] for _, d in runs]
     print(f"{'run':>4} {'subsat(PRIMARY)':>16} {'saturated':>10} "
-          f"{'300k 16cpu f/s':>15} {'1M 16cpu f/s':>13}")
+          f"{'300k 16cpu f/s':>15} {'1M 16cpu f/s':>13} {'code':>12}")
     for n, d in runs:
         s300 = d["sizes"].get("300000", {})
         s1m = d["sizes"].get("1000000", {})
+        # runs before the bench stamped code versions are docterms v3
+        # (every r5 run runs post-docterms-v3 code; the stamp landed
+        # with v4)
+        code = d.get("code", {})
+        code_s = f"dt v{code.get('docterms_format', 3)}"
         print(f"{n:>4} {d['efficiency_subsat']:>16.3f} "
               f"{d['efficiency_saturated']:>10.3f} "
               f"{s300.get('build_16cpu_files_per_sec', float('nan')):>15,.0f} "
-              f"{s1m.get('build_16cpu_files_per_sec', float('nan')):>13,.0f}")
+              f"{s1m.get('build_16cpu_files_per_sec', float('nan')):>13,.0f} "
+              f"{code_s:>12}")
     print(f"\nruns: {len(runs)}")
     print(f"median subsat (PRIMARY): {statistics.median(subsat):.3f}")
     print(f"median saturated:        {statistics.median(sat):.3f}")
