@@ -9,6 +9,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from hypothesis import given, settings as hyp_settings, strategies as st
 
 
 class TestDocIds:
@@ -536,3 +537,62 @@ class TestCorpusScalars:
         d = str(tmp_path)
         self._write_docstats(d, "p.parquet", [7, 7, 9])
         assert corpus_scalars(d, check_dense=False) == (3, 9)
+
+    @given(st.data())
+    @hyp_settings(max_examples=30, deadline=None)
+    def test_reconcile_property_random_retry_layouts(self, data):
+        """Property over random retry shapes: whenever a COMPLETE newer
+        tiling of 0..N-1 exists (the retry pass) alongside any subset of
+        an older differently-cut attempt's files, newest-first
+        reconciliation must return the exact corpus scalars, keep the
+        retry's files, and delete every stale survivor.  Pure-function
+        test on synthetic spans (no Ray) — file paths exist only to
+        carry mtimes."""
+        import tempfile
+
+        from searchengine_ray.build import _reconcile_stale_docstats
+
+        def tiling(n, max_cuts):
+            if n == 1:
+                return [(0, 0)]
+            k = data.draw(st.integers(min_value=0,
+                                      max_value=min(max_cuts, n - 1)))
+            cuts = sorted(data.draw(st.sets(
+                st.integers(min_value=1, max_value=n - 1),
+                min_size=k, max_size=k)))
+            bounds = [0, *cuts, n]
+            return [(lo, hi - 1) for lo, hi in zip(bounds, bounds[1:])]
+
+        n = data.draw(st.integers(min_value=2, max_value=40))
+        final = tiling(n, 5)
+        # the dead attempt covered a (possibly shorter) prefix with a
+        # different cut; any subset of its files may have survived
+        n_stale = data.draw(st.integers(min_value=1, max_value=n))
+        stale_all = tiling(n_stale, 5)
+        stale = [s for s in stale_all
+                 if data.draw(st.booleans(), label=f"keep{s}")]
+        with tempfile.TemporaryDirectory() as d:
+            spans = []
+            for i, (lo, hi) in enumerate(stale):
+                p = os.path.join(d, f"stale_{i}.parquet")
+                open(p, "w").close()
+                os.utime(p, ns=(10**9 + i, 10**9 + i))
+                spans.append((lo, hi, hi - lo + 1, hi - lo + 1,
+                              3 * (hi - lo + 1), p))
+            for i, (lo, hi) in enumerate(final):
+                p = os.path.join(d, f"final_{i}.parquet")
+                open(p, "w").close()
+                os.utime(p, ns=(2 * 10**9 + i, 2 * 10**9 + i))
+                spans.append((lo, hi, hi - lo + 1, hi - lo + 1,
+                              3 * (hi - lo + 1), p))
+            import warnings as _w
+
+            with _w.catch_warnings():
+                _w.simplefilter("ignore", RuntimeWarning)
+                got = _reconcile_stale_docstats(sorted(spans))
+            assert got == (n, 3 * n)
+            # the final tiling covers every doc, so every stale file
+            # overlaps a (newer) kept file: survivors are EXACTLY the
+            # retry's files, every stale survivor is deleted
+            assert sorted(os.listdir(d)) == sorted(
+                f"final_{i}.parquet" for i in range(len(final)))
