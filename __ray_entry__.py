@@ -106,6 +106,49 @@ def q_index_term_stats(sf_dir: str) -> pa.Table:
     )
 
 
+def q_merged_index_term_stats(sf_dir: str) -> pa.Table:
+    """Incremental indexing end-to-end (merge.merge_indexes, r5): the
+    documents table splits into a base generation (doc_id < N/2) and a
+    delta built with ``doc_id_base = N/2``; the merged generational
+    index must reproduce the FULL index's per-term (df, cf) exactly —
+    the oracle is the same SQL as ``index_term_stats``, so a hash-green
+    row pins the whole incremental path (delta id assignment, per-
+    generation builds, WAND-bound rescaling merge, multi-generation
+    fragment ordering in the reader) to the single-build semantics."""
+    import ray.data  # noqa: F401
+
+    from searchengine_ray.build import IndexBuildConfig, build_index
+    from searchengine_ray.corpus import corpus_from_documents
+    from searchengine_ray.merge import merge_indexes
+    from searchengine_ray.query.reader import DiskIndexReader
+
+    corpus = corpus_from_documents(sf_dir)
+    split = corpus.count() // 2
+
+    def _cfg(base: int = 0) -> IndexBuildConfig:
+        return IndexBuildConfig(analyzer="whitespace", num_buckets=16,
+                                tokenize_concurrency=(1, 8),
+                                doc_id_base=base)
+
+    a_dir = _index_dir_for(sf_dir, "ws_gen0")
+    b_dir = _index_dir_for(sf_dir, "ws_gen1")
+    out_dir = _index_dir_for(sf_dir, "ws_merged")
+    build_index(corpus.filter(expr=f"doc_id < {split}"), a_dir, _cfg(),
+                input_description=f"{sf_dir}/documents.parquet#ws_gen0")
+    build_index(corpus.filter(expr=f"doc_id >= {split}"), b_dir,
+                _cfg(base=split),
+                input_description=f"{sf_dir}/documents.parquet#ws_gen1")
+    merge_indexes([a_dir, b_dir], out_dir)
+    terms, df, cf = DiskIndexReader(out_dir).term_stats()
+    return pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "df": pa.array(df),
+            "cf": pa.array(cf),
+        }
+    )
+
+
 def q_legacy_term_stats(sf_dir: str) -> pa.Table:
     """Legacy v0 export verified end-to-end against SQL (S10, r5).
 
@@ -709,6 +752,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "index_term_stats": q_index_term_stats,
+        "merged_index_term_stats": q_merged_index_term_stats,
         "legacy_term_stats": q_legacy_term_stats,
         "doc_lengths": q_doc_lengths,
         "content_integrity": q_content_integrity,
@@ -811,6 +855,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY media_id, frame_idx
         """,
         "index_term_stats": f"""
+            WITH {_TOK}
+            SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf
+            FROM tf GROUP BY term ORDER BY term
+        """,
+        # the merged generational index must reproduce the full-build
+        # stats bit-for-bit, so its oracle IS the full-index SQL
+        "merged_index_term_stats": f"""
             WITH {_TOK}
             SELECT term, count(*) AS df, sum(tf)::BIGINT AS cf
             FROM tf GROUP BY term ORDER BY term

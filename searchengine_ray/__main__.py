@@ -6,6 +6,7 @@ Usage:
   python -m searchengine_ray query  --index DIR "raw query" [--mode bm25|default|bool] [-k 10]
   python -m searchengine_ray spell  --index DIR "misspelled words"
   python -m searchengine_ray vocab  --index DIR [--limit 20]
+  python -m searchengine_ray merge  --out DIR PART_DIR [PART_DIR ...]
   python -m searchengine_ray verify --corpus PATH --index DIR [--no-ids]
 
 Owns its Ray session (guarded init) — library code never calls ray.init.
@@ -81,6 +82,18 @@ def cmd_vocab(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    _ensure_ray()
+    from .merge import merge_indexes
+
+    manifest = merge_indexes(args.parts, args.out)
+    print(json.dumps(
+        {k: manifest[k] for k in
+         ("num_docs", "total_tokens", "avg_doc_length", "build_seconds")}
+    ))
+    return 0
+
+
 def cmd_verify(args) -> int:
     _ensure_ray()
     from .verify import verify_index_content
@@ -120,6 +133,17 @@ def main(argv=None) -> int:
     v.add_argument("--index", required=True)
     v.add_argument("--limit", type=int, default=20)
     v.set_defaults(fn=cmd_vocab)
+
+    mg = sub.add_parser(
+        "merge",
+        help="fold generation indexes (base + doc_id_base deltas) into "
+             "one servable index",
+    )
+    mg.add_argument("parts", nargs="+",
+                    help="generation index dirs (any order; doc ranges "
+                         "must tile 0..N-1)")
+    mg.add_argument("--out", required=True)
+    mg.set_defaults(fn=cmd_merge)
 
     vf = sub.add_parser(
         "verify",

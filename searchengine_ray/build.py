@@ -96,6 +96,13 @@ class IndexBuildConfig:
     content_col: str = "content"
     title_col: str = "path"
     id_col: str = "doc_id"  # pre-assigned dense id column (None -> assign)
+    # First doc id of this build (incremental indexing): a DELTA build
+    # over new docs sets this to the existing index's num_docs so its id
+    # space continues the base index's; ids must be dense
+    # base..base+N-1.  A non-zero-base index is a merge input only —
+    # the reader refuses to serve it until merge.merge_indexes folds it
+    # into a zero-based generational index.
+    doc_id_base: int = 0
     segment_row_group_size: int = 512
     analyzer: str = "reference"  # key into tokenizer.ANALYZERS
     num_reducers: int | None = None  # postings-exchange reduce partitions
@@ -1608,7 +1615,8 @@ def _sum_doc_lengths(files: list[str],
 
 
 def corpus_scalars(docterms_dir: str,
-                   check_dense: bool = True) -> tuple[int, int]:
+                   check_dense: bool = True,
+                   base: int = 0) -> tuple[int, int]:
     """(num_docs, total_tokens) via a small remote tree: the driver holds
     O(tasks) partials, never an O(corpus) column (VERDICT r3 #4 — the old
     single-process ``pq.read_table(columns=["doc_length"])`` materialised
@@ -1662,16 +1670,18 @@ def corpus_scalars(docterms_dir: str,
             )
     overlap = any(b[0] <= a[1] for a, b in zip(spans, spans[1:]))
     if not overlap:
-        if spans and (spans[0][0] != 0 or spans[-1][1] != rows - 1):
+        if spans and (spans[0][0] != base
+                      or spans[-1][1] != base + rows - 1):
             raise ValueError(
                 f"docstats invariant broken: {rows} rows but doc ids span "
-                f"[{spans[0][0]}, {spans[-1][1]}] (expected dense 0..N-1)"
+                f"[{spans[0][0]}, {spans[-1][1]}] (expected dense "
+                f"{base}..{base + rows - 1})"
             )
         return rows, tot
-    return _reconcile_stale_docstats(spans)
+    return _reconcile_stale_docstats(spans, base)
 
 
-def _reconcile_stale_docstats(spans: list) -> tuple[int, int]:
+def _reconcile_stale_docstats(spans: list, base: int = 0) -> tuple[int, int]:
     """Newest-first greedy selection of non-overlapping docstats files;
     see ``corpus_scalars``.  ``spans`` is the per-file
     (lo, hi, rows, n_unique, sum_dl, path) list with at least one range
@@ -1699,7 +1709,7 @@ def _reconcile_stale_docstats(spans: list) -> tuple[int, int]:
             dropped.append(s)
     tiled = (
         kept
-        and kept[0][0] == 0
+        and kept[0][0] == base
         and all(n == hi - lo + 1 for lo, hi, n, _u, _dl, _f in kept)
         and all(b[0] == a[1] + 1 for a, b in zip(kept, kept[1:]))
         # a dense tiling of [0..kept_max] covers a dropped file iff the
@@ -1726,7 +1736,8 @@ def _reconcile_stale_docstats(spans: list) -> tuple[int, int]:
         RuntimeWarning,
         stacklevel=2,
     )
-    return kept[-1][1] + 1, sum(dl for _lo, _hi, _n, _u, dl, _f in kept)
+    return (kept[-1][1] + 1 - base,
+            sum(dl for _lo, _hi, _n, _u, dl, _f in kept))
 
 
 def build_index(
@@ -1755,7 +1766,7 @@ def build_index(
         if cfg.id_col not in corpus.schema().names:
             from .ids import assign_doc_ids
 
-            corpus = assign_doc_ids(corpus)
+            corpus = assign_doc_ids(corpus, base=cfg.doc_id_base)
         else:
             # the reader indexes num_docs-sized arrays by doc_id: a sparse or
             # non-zero-based pre-assigned id column would crash at query time,
@@ -1767,12 +1778,13 @@ def build_index(
             )
             lo, hi, n = (agg[f"min({cfg.id_col})"], agg[f"max({cfg.id_col})"],
                          agg["count()"])
-            if n and (lo != 0 or hi != n - 1):
+            b = cfg.doc_id_base
+            if n and (lo != b or hi != b + n - 1):
                 raise ValueError(
-                    f"pre-assigned {cfg.id_col!r} must be dense 0..N-1 "
-                    f"(got min={lo}, max={hi}, rows={n}); drop the column to "
-                    f"have build_index assign ids, or re-assign with "
-                    f"searchengine_ray.ids.assign_doc_ids"
+                    f"pre-assigned {cfg.id_col!r} must be dense "
+                    f"{b}..{b}+N-1 (got min={lo}, max={hi}, rows={n}); "
+                    f"drop the column to have build_index assign ids, or "
+                    f"re-assign with searchengine_ray.ids.assign_doc_ids"
                 )
         import shutil
 
@@ -1832,7 +1844,7 @@ def build_index(
 
         # corpus scalars via a distributed pruned-column aggregate —
         # needed now so block-max BM25 wdt bounds go into the segments
-        n_docs, tot = corpus_scalars(docstats_dir)
+        n_docs, tot = corpus_scalars(docstats_dir, base=cfg.doc_id_base)
         avgdl = (tot / n_docs) if n_docs else 1.0
 
         heavy = detect_heavy_terms(docterms_dir, cfg)
@@ -1866,7 +1878,8 @@ def build_index(
     num_docs = seg_marker.get("num_docs")
     total_tokens = seg_marker.get("total_tokens")
     if num_docs is None or total_tokens is None:
-        num_docs, total_tokens = corpus_scalars(docstats_dir)
+        num_docs, total_tokens = corpus_scalars(
+            docstats_dir, base=cfg.doc_id_base)
 
     with open(os.path.join(index_dir, "_STAGE_segments.json")) as f:
         heavy_terms = json.load(f).get("heavy_terms", {})
@@ -1878,6 +1891,7 @@ def build_index(
         "config": cfg.to_json(),
         "fingerprint": fingerprint,
         "num_docs": num_docs,
+        "doc_id_base": cfg.doc_id_base,
         "total_tokens": total_tokens,
         "avg_doc_length": (total_tokens / num_docs) if num_docs else 0.0,
         "num_buckets": cfg.num_buckets,

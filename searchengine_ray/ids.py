@@ -82,8 +82,13 @@ def assign_doc_ids(
     key_cols: tuple[str, ...] = DEFAULT_KEY,
     num_buckets: int | None = None,
     samples_per_block: int = 16,
+    base: int = 0,
 ) -> ray.data.Dataset:
-    """Add a dense int64 ``doc_id`` column ordered by ``key_cols``.
+    """Add a dense int64 ``doc_id`` column (``base..base+N-1``) ordered by
+    ``key_cols``.  A non-zero ``base`` is the incremental-indexing path:
+    a delta corpus gets ids continuing where the existing index ends, so
+    ``merge.merge_indexes`` can concatenate generations (doc spaces stay
+    dense and disjoint).
 
     The driver-side boundary sample is ONE pass holding
     O(blocks x samples_per_block) weighted keys, not O(corpus) — blocks
@@ -125,7 +130,7 @@ def assign_doc_ids(
     counts = keyed.groupby("_bucket").count().take_all()
     counts_by_bucket = {r["_bucket"]: r["count()"] for r in counts}
     bases = {}
-    running = 0
+    running = base
     for b in sorted(counts_by_bucket):
         bases[b] = running
         running += counts_by_bucket[b]

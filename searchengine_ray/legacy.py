@@ -169,6 +169,17 @@ def export_legacy_index(index_dir: str, out_dir: str) -> dict:
 
     os.makedirs(out_dir, exist_ok=True)
     reader = DiskIndexReader(index_dir)
+    if reader.manifest.get("merged_from"):
+        # generations may disagree on per-term salting (heavy detection
+        # sees only its own corpus), and this bulk scan's (term, shard,
+        # salt) sort is only doc-ascending when salting is uniform — the
+        # live reader orders fragments by first doc instead, but the
+        # legacy layout needs one sequential pass
+        raise ValueError(
+            "legacy export of a merged generational index is not "
+            "supported: re-export each generation, or rebuild the "
+            "merged corpus into a single-generation index"
+        )
     tf_sq = np.zeros(reader.num_docs, dtype=np.float64)
 
     seg_files = sorted(_glob.glob(os.path.join(index_dir, "segments",

@@ -96,12 +96,21 @@ class _TermCursor:
         self._frag_rows = []
         self._frag_of_block = []
         self._block_in_frag = []
-        for fi, fr in enumerate(index.fragments(term)):
+        rows = []
+        for fr in index.fragments(term):
             row = index.read_fragment_row(
                 fr, ["blob", "tf_blob", "skip_last_doc", "skip_max_wdt",
                      "skip_offset", "skip_tf_offset", "skip_count"]
             )
             row["df"] = fr.df
+            rows.append(row)
+        # fragments are doc-range disjoint, so ordering by any doc of
+        # each (the first block's last doc) makes the concatenated block
+        # list globally doc-ascending even for merged generational
+        # indexes whose per-build salting disagrees (the dictionary's
+        # (shard, salt) sort alone covers single-generation indexes)
+        rows.sort(key=lambda r: int(r["skip_last_doc"][0]))
+        for fi, row in enumerate(rows):
             self._frag_rows.append(row)
             nb = len(row["skip_last_doc"])
             lasts.extend(row["skip_last_doc"])

@@ -66,6 +66,13 @@ class DiskIndexReader:
                 f"reader requires {SEGMENT_FORMAT}: rebuild the index "
                 f"(delete the directory and re-run build_index)"
             )
+        if self.manifest.get("doc_id_base", 0) != 0:
+            raise ValueError(
+                f"index at {index_dir} is a DELTA build (doc ids start at "
+                f"{self.manifest['doc_id_base']}, not 0) — it is a merge "
+                f"input, not a servable index: fold it into a zero-based "
+                f"index with searchengine_ray.merge.merge_indexes first"
+            )
 
         self._load_doc_stats()
         self._load_dictionary(buckets)
@@ -366,6 +373,14 @@ class DiskIndexReader:
             out = PostingList.empty(with_positions)
         else:
             parts = [self._decode_fragment(fr, with_positions) for fr in frags]
+            # fragments cover pairwise-disjoint doc ranges (reducer
+            # invariant; generations of a merged index are doc-disjoint
+            # by construction), so ordering PARTS by first doc yields a
+            # globally doc-ascending list.  The dictionary's
+            # (shard, salt) sort already orders single-generation
+            # fragments; this sort makes the concat robust to merged
+            # generations whose per-build salting disagrees.
+            parts.sort(key=lambda p: int(p.doc_ids[0]))
             out = _concat_postings(parts, with_positions)
         if len(self._cache) >= self._cache_size:
             self._cache.popitem(last=False)
