@@ -106,8 +106,14 @@ class IndexBuildConfig:
     segment_row_group_size: int = 512
     analyzer: str = "reference"  # key into tokenizer.ANALYZERS
     num_reducers: int | None = None  # postings-exchange reduce partitions
-    # CPU slots per exchange task; None -> 2 above 8 cluster CPUs (the
-    # bandwidth-contention cap measured in BASELINE.md §3), 1 otherwise.
+    # CPU slots per exchange task; None -> sized by the exchange's
+    # working set (docterms bytes per CPU): 2 above 8 cluster CPUs when
+    # the per-stream share exceeds the cache-thrash threshold (the
+    # bandwidth-contention cap measured in BASELINE.md §3), 1 otherwise
+    # — sub-cache exchanges are wave-quantization-bound, not
+    # bandwidth-bound, and halving concurrency just doubles the waves
+    # (16-CPU 300k-doc A/B: exchange 5.2s -> 3.1s at 1 slot; the 2.4 GB
+    # 1M-doc exchange is equal-median with a worse tail at 1 slot).
     # Env SE_RAY_EXCHANGE_CPUS overrides for A/B runs.
     exchange_task_cpus: int | None = None
     # Streaming reduce: reducers launch with the maps and unpack each
@@ -1362,14 +1368,23 @@ def build_segments_exchange(
     # exchange tasks are memory-bandwidth-heavy, and this class of host
     # saturates its bus well below one-stream-per-core: above 8 CPUs,
     # schedule each task with 2 CPU slots so at most cpus/2 run at once —
-    # each gets a bigger bandwidth share instead of thrashing caches
+    # each gets a bigger bandwidth share instead of thrashing caches.
+    # BUT only when the working set is big enough to thrash: below
+    # ~96 MB of docterms per CPU the whole exchange is a few short
+    # waves and halving concurrency doubles them (measured: 16-CPU
+    # 300k-doc exchange 5.2s at 2 slots vs 3.1s at 1; the 150 MB/CPU
+    # 1M-doc exchange equal-median with a worse tail at 1 slot).  On a
+    # multi-node cluster bytes and CPUs both scale with node count, so
+    # bytes-per-CPU stays the right per-node-bus proxy.
     env_cpus = os.environ.get("SE_RAY_EXCHANGE_CPUS")
+    total_bytes = sum(os.path.getsize(f) for f in files)
     if env_cpus:
         task_cpus = int(env_cpus)
     elif cfg.exchange_task_cpus is not None:
         task_cpus = cfg.exchange_task_cpus
     else:
-        task_cpus = 2 if cpus > 8 else 1
+        task_cpus = (2 if cpus > 8 and total_bytes > 96e6 * cpus
+                     else 1)
     map_refs = [
         _map_runs.options(num_returns=num_reducers,
                           num_cpus=task_cpus).remote(
@@ -1763,29 +1778,62 @@ def build_index(
 
     # ---- stage 1: tokenize -> docterms ----
     if not _stage_done(index_dir, "docterms", fingerprint):
+        id_val_thread = None
+        id_val_err: list[BaseException] = []
         if cfg.id_col not in corpus.schema().names:
             from .ids import assign_doc_ids
 
             corpus = assign_doc_ids(corpus, base=cfg.doc_id_base)
         else:
             # the reader indexes num_docs-sized arrays by doc_id: a sparse or
-            # non-zero-based pre-assigned id column would crash at query time,
-            # so validate density up front (one pruned aggregate pass)
-            from ray.data.aggregate import Count, Max, Min
+            # non-zero-based pre-assigned id column would crash at query
+            # time, and duplicate ids would silently overwrite range-named
+            # docstats files, so validate min/max/count over the id column.
+            # The pass runs CONCURRENTLY with tokenize and is joined before
+            # the docterms stage commits: as a blocking pre-pass it cost
+            # 4-7s of pure launch overhead per 300k-doc build (and
+            # Dataset.aggregate routes through shuffle machinery — 2x the
+            # cost of this map_batches partial + driver combine), while
+            # overlapped its tiny per-file tasks hide behind the
+            # tokenize stream.  On failure the stage never commits, so a
+            # resumed build re-checks.
+            import threading
 
-            agg = corpus.select_columns([cfg.id_col]).aggregate(
-                Min(cfg.id_col), Max(cfg.id_col), Count()
-            )
-            lo, hi, n = (agg[f"min({cfg.id_col})"], agg[f"max({cfg.id_col})"],
-                         agg["count()"])
-            b = cfg.doc_id_base
-            if n and (lo != b or hi != b + n - 1):
-                raise ValueError(
-                    f"pre-assigned {cfg.id_col!r} must be dense "
-                    f"{b}..{b}+N-1 (got min={lo}, max={hi}, rows={n}); "
-                    f"drop the column to have build_index assign ids, or "
-                    f"re-assign with searchengine_ray.ids.assign_doc_ids"
-                )
+            _id_col = cfg.id_col
+
+            def _idspan_partial(b: pa.Table) -> pa.Table:
+                import pyarrow.compute as _pc
+
+                col = b.column(_id_col)
+                return pa.table({"lo": [_pc.min(col).as_py()],
+                                 "hi": [_pc.max(col).as_py()],
+                                 "n": [b.num_rows]})
+
+            def _validate_ids(ds=corpus, b=cfg.doc_id_base):
+                try:
+                    parts = ds.select_columns([_id_col]).map_batches(
+                        _idspan_partial, batch_format="pyarrow",
+                        batch_size=None,
+                    ).take_all()
+                    n = sum(p["n"] for p in parts)
+                    if not n:
+                        return
+                    lo = min(p["lo"] for p in parts)
+                    hi = max(p["hi"] for p in parts)
+                    if lo != b or hi != b + n - 1:
+                        raise ValueError(
+                            f"pre-assigned {_id_col!r} must be dense "
+                            f"{b}..{b}+N-1 (got min={lo}, max={hi}, "
+                            f"rows={n}); drop the column to have "
+                            f"build_index assign ids, or re-assign with "
+                            f"searchengine_ray.ids.assign_doc_ids"
+                        )
+                except BaseException as e:  # re-raised on the build thread
+                    id_val_err.append(e)
+
+            id_val_thread = threading.Thread(target=_validate_ids,
+                                             daemon=True)
+            id_val_thread.start()
         import shutil
 
         shutil.rmtree(docterms_dir, ignore_errors=True)
@@ -1828,6 +1876,10 @@ def build_index(
             # merges by first_doc.
             max_rows_per_file=max(cfg.docterms_block_rows * 64, 1 << 18),
         )
+        if id_val_thread is not None:
+            id_val_thread.join()
+            if id_val_err:
+                raise id_val_err[0]
         stage_seconds["tokenize"] = time.perf_counter() - t0
         _commit_stage(
             index_dir, "docterms", fingerprint,
