@@ -443,10 +443,12 @@ def _code_versions() -> dict:
     """Format revisions of the code under measurement, recorded in each
     scaling-run JSON so the summary can group same-code cohorts (the
     round-4/5 medians mix docterms v2/v3/v4 runs otherwise)."""
-    from searchengine_ray.build import DOCTERMS_FORMAT, SEGMENT_FORMAT
+    from searchengine_ray.build import (BUILD_CODE_REVISION,
+                                        DOCTERMS_FORMAT, SEGMENT_FORMAT)
 
     return {"docterms_format": DOCTERMS_FORMAT,
-            "segment_format": SEGMENT_FORMAT}
+            "segment_format": SEGMENT_FORMAT,
+            "build_code_revision": BUILD_CODE_REVISION}
 
 
 def run_scaling() -> dict:

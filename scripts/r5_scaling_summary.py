@@ -38,7 +38,8 @@ def main() -> None:
         # (every r5 run runs post-docterms-v3 code; the stamp landed
         # with v4)
         code = d.get("code", {})
-        code_s = f"dt v{code.get('docterms_format', 3)}"
+        code_s = (f"dt v{code.get('docterms_format', 3)}"
+                  f"+b{code.get('build_code_revision', 0)}")
         print(f"{n:>4} {d['efficiency_subsat']:>16.3f} "
               f"{d['efficiency_saturated']:>10.3f} "
               f"{s300.get('build_16cpu_files_per_sec', float('nan')):>15,.0f} "
@@ -115,5 +116,54 @@ def stage_split(runs: list) -> None:
         print(f"best-rep stage efficiencies {size}: " + ", ".join(parts))
 
 
+def legs_summary() -> None:
+    """Pool SCALING_r05_legs.jsonl (opportunistic single-leg samples from
+    scripts/leg_sample.py) per (code revision, n_docs, cpus): count,
+    best and median files/sec of the QUALIFIED samples (bracketing
+    probes >= bench.QUIET_GBPS and a clean in-leg sampler — the same
+    rule run_scaling applies to its reps), falling back to all samples
+    when none qualify, then the pooled best-leg efficiency."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(repo, "SCALING_r05_legs.jsonl")
+    if not os.path.exists(path):
+        print("no SCALING_r05_legs.jsonl", file=sys.stderr)
+        return
+    legs = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                legs.append(json.loads(line))
+    by_cohort: dict = {}
+    for r in legs:
+        code = r.get("code", {})
+        cohort = (f"dt v{code.get('docterms_format', '?')}"
+                  f"+b{code.get('build_code_revision', 0)}")
+        key = (cohort, r.get("n_docs_target", r.get("n_docs")))
+        by_cohort.setdefault(key, {}).setdefault(
+            r["num_cpus"], []).append(r)
+    print(f"{len(legs)} leg samples")
+    for (cohort, n_docs), per_cpu in sorted(by_cohort.items()):
+        stats = {}
+        for cpus, rs in sorted(per_cpu.items()):
+            qual = [r for r in rs if r.get("window_ok")] or rs
+            fps = [r["files_per_sec"] for r in qual]
+            stats[cpus] = (max(fps), statistics.median(fps))
+            print(f"  {cohort} {n_docs} docs {cpus}cpu: "
+                  f"{len(rs)} samples ({len(qual)} pooled"
+                  f"{' qualified' if qual is not rs else ' (none qualified)'}"
+                  f") best {max(fps):,.0f} f/s median "
+                  f"{statistics.median(fps):,.0f}")
+        if len(stats) == 2:
+            cs = sorted(stats)
+            ratio = cs[1] / cs[0]
+            print(f"  {cohort} {n_docs} docs pooled efficiency: best "
+                  f"{(stats[cs[1]][0] / stats[cs[0]][0]) / ratio:.3f}, "
+                  f"median {(stats[cs[1]][1] / stats[cs[0]][1]) / ratio:.3f}")
+
+
 if __name__ == "__main__":
-    main()
+    if "--legs" in sys.argv:
+        legs_summary()
+    else:
+        main()

@@ -580,6 +580,13 @@ SEGMENT_FORMAT = 4
 # the round-5 hypothesis property test over random segment packings).
 DOCTERMS_FORMAT = 4
 
+# Build-CODE revision for scaling-run cohort grouping (formats above
+# version the BYTES; this versions the measured job).  Bump when a
+# change alters build wall-clock without touching a format.
+# r1: working-set-sized exchange task slots + id validation overlapped
+#     with tokenize (runs stamped dt v3/v4 without this key predate it).
+BUILD_CODE_REVISION = 1
+
 BM25_K1 = 1.2
 BM25_B = 0.75
 
