@@ -211,7 +211,10 @@ def _scaling_build(num_cpus: int, n_docs: int | None = None) -> dict:
             # rewritten per build), which on stormy days attributes one
             # poisoned rep's weather to the whole leg; carrying the split
             # on every rep lets the summary decompose the BEST rep
-            "stage_seconds": manifest.get("stage_seconds")}
+            "stage_seconds": manifest.get("stage_seconds"),
+            # scheduling decisions (map/reducer counts, task CPU slots)
+            # for post-hoc cohort audit of what each leg actually ran
+            "exchange_plan": manifest.get("exchange_plan")}
 
 
 def cpu_probe() -> dict:

@@ -1357,8 +1357,13 @@ def build_segments_exchange(
     heavy: dict[str, int],
     avgdl: float,
     num_reducers: int | None = None,
-) -> list[dict]:
-    """Run the postings exchange over the docterms files."""
+) -> tuple[list[dict], dict]:
+    """Run the postings exchange over the docterms files.
+
+    Returns ``(per_reducer_metrics, plan)`` where ``plan`` records the
+    scheduling decisions (map/reducer counts, task CPU slots, docterms
+    bytes) — persisted in the segments stage marker so scaling-run
+    cohorts can be audited post hoc (which slot count a leg ran with)."""
     files = sorted(
         os.path.join(docterms_dir, f)
         for f in os.listdir(docterms_dir)
@@ -1427,7 +1432,10 @@ def build_segments_exchange(
             )
             for r in range(num_reducers)
         ]
-    return [m for m in ray.get(reduce_refs) if m]
+    plan = {"num_maps": n_maps, "num_reducers": num_reducers,
+            "task_cpus": task_cpus, "docterms_bytes": total_bytes,
+            "cluster_cpus": cpus, "streaming": streaming}
+    return [m for m in ray.get(reduce_refs) if m], plan
 
 
 def _stage_done(index_dir: str, stage: str, fingerprint: str) -> bool:
@@ -1911,7 +1919,7 @@ def build_index(
             time.perf_counter() - t0 - sum(stage_seconds.values())
         )
         shutil.rmtree(segments_dir, ignore_errors=True)
-        seg_metrics = build_segments_exchange(
+        seg_metrics, exchange_plan = build_segments_exchange(
             docterms_dir, segments_dir, cfg, heavy, avgdl,
             num_reducers=cfg.num_reducers,
         )
@@ -1925,6 +1933,7 @@ def build_index(
             heavy_terms={t: w for t, w in heavy.items()},
             num_docs=n_docs,
             total_tokens=tot,
+            exchange_plan=exchange_plan,
             segment_metrics=seg_metrics,
             files=[{"file": m["file"], "rows": m["rows"]}
                    for m in seg_metrics],
@@ -1940,8 +1949,7 @@ def build_index(
         num_docs, total_tokens = corpus_scalars(
             docstats_dir, base=cfg.doc_id_base)
 
-    with open(os.path.join(index_dir, "_STAGE_segments.json")) as f:
-        heavy_terms = json.load(f).get("heavy_terms", {})
+    heavy_terms = seg_marker.get("heavy_terms", {})
 
     manifest = {
         "version": 1,
@@ -1956,6 +1964,7 @@ def build_index(
         "num_buckets": cfg.num_buckets,
         "docs_per_shard": cfg.docs_per_shard,
         "heavy_terms": heavy_terms,
+        "exchange_plan": seg_marker.get("exchange_plan"),
         "segments": seg_files,
         "doc_stats_dir": "docstats",
         "docstats_files": _dir_lineage(docstats_dir),
