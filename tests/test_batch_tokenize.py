@@ -6,7 +6,7 @@ count toward doc_length and L_d but are never indexed; positions are
 position)."""
 
 import pyarrow as pa
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from searchengine_ray.build import IndexBuildConfig, TokenizeDocs, _worker_cache
 
@@ -104,5 +104,15 @@ def test_property_parity_reference(docs):
         max_size=12,
     )
 )
+@example(
+    docs=['\xa0\u2003 X ',
+     'XZX Xc\t',
+     '',
+     '\u2003c\u2003ZXX',
+     'c',
+     'ZXZX XXaXX\xa0X e',
+     'X\xa0',
+     ''],
+).via('discovered failure')
 def test_property_parity_whitespace(docs):
     _assert_parity(docs, "whitespace")
