@@ -96,7 +96,7 @@ def test_property_parity_reference(docs):
 @given(
     st.lists(
         st.text(
-            alphabet="abcdef \t\n  XZ.",
+            alphabet="abcdef \t\n\xa0\u2003\u3000\x85XZ.",
             min_size=0,
             max_size=80,
         ),
@@ -116,3 +116,30 @@ def test_property_parity_reference(docs):
 ).via('discovered failure')
 def test_property_parity_whitespace(docs):
     _assert_parity(docs, "whitespace")
+
+# every multi-byte codepoint Python's str.split() splits on (the set
+# batch_tokenize._MULTIBYTE_WS_PATTERN normalizes away): each one mid-
+# string, at string start, and at string END — the last doc's trailing
+# char is the end of the batch's data buffer, where pyarrow 16.1.0's
+# utf8_split_whitespace misclassified U+00A0 depending on heap state
+_MB_WS = "\x85\xa0\u1680" + "".join(
+    chr(c) for c in range(0x2000, 0x200B)
+) + "\u2028\u2029\u202f\u205f\u3000"
+MB_WS_DOCS = (
+    [f"a{ch}b" for ch in _MB_WS]
+    + [f"{ch}lead" for ch in _MB_WS]
+    + [f"trail{ch}" for ch in _MB_WS]
+)
+
+
+def test_multibyte_whitespace_parity():
+    _assert_parity(MB_WS_DOCS, "whitespace")
+    _assert_parity(MB_WS_DOCS, "reference")
+
+
+def test_multibyte_whitespace_buffer_final():
+    # trailing U+00A0 as the batch's final data byte, empty doc after —
+    # the exact shape of the discovered failure
+    _assert_parity(["X Y", "X\xa0", ""], "whitespace")
+    _assert_parity(["X Y", "X\u3000", ""], "whitespace")
+
