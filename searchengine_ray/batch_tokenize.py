@@ -37,20 +37,23 @@ from .tokenizer import TokenTermCache
 # analyzers this fast path covers; others fall back to the per-doc loop
 VECTORIZED_ANALYZERS = ("reference", "whitespace")
 
-# Every MULTI-BYTE codepoint Python's str.split() treats as whitespace
-# (U+0085, U+00A0, U+1680, U+2000-U+200A, U+2028, U+2029, U+202F,
-# U+205F, U+3000 — the single-byte ASCII set is handled identically by
-# every pyarrow path).  pyarrow 16.1.0's utf8_split_whitespace can fail
-# to classify a multi-byte whitespace codepoint that ends the array's
-# data buffer (observed: a trailing U+00A0 kept inside the final piece,
-# dependent on the heap state left by unrelated allocations — found by
-# the hypothesis parity suite, tests/test_batch_tokenize.py).  RE2's
-# byte-DFA replace has no such end-of-buffer codepoint peeking, so
-# normalizing these to a plain space before the split makes the split
-# deterministic while preserving exact str.split() piece boundaries
-# (each whitespace char maps 1:1 to a space; runs collapse identically).
-_MULTIBYTE_WS_PATTERN = (
-    "[\u0085\u00a0\u1680\u2000-\u200a"
+# Every codepoint Python's str.split() treats as whitespace EXCEPT the
+# six (\t \n \v \f \r space) that pyarrow's ASCII and UTF8 whitespace
+# classifiers agree on: the multi-byte set (U+0085, U+00A0, U+1680,
+# U+2000-U+200A, U+2028, U+2029, U+202F, U+205F, U+3000) plus the
+# single-byte controls U+001C-U+001F, which utf8_split_whitespace and
+# Python split on but ascii_split_whitespace does not.  pyarrow 16.1.0's
+# utf8_split_whitespace nondeterministically degrades to the ASCII
+# classification for some inputs (observed: a buffer-final U+00A0 kept
+# inside the final piece, and a \x1c-bearing batch, both dependent on
+# the heap state left by unrelated allocations — found by the hypothesis
+# parity suite, tests/test_batch_tokenize.py).  RE2's byte-DFA replace
+# has no such state, so normalizing every classifier-disputed whitespace
+# char to a plain space before the split makes the split deterministic
+# while preserving exact str.split() piece boundaries (each whitespace
+# char maps 1:1 to a space; runs collapse identically).
+_NON_PORTABLE_WS_PATTERN = (
+    "[\x1c-\x1f\u0085\u00a0\u1680\u2000-\u200a"
     "\u2028\u2029\u202f\u205f\u3000]"
 )
 
@@ -70,7 +73,7 @@ def _flat_pieces(
     contents = pc.fill_null(contents, "")
     if analyzer == "whitespace":
         lowered = pc.replace_substring_regex(
-            pc.utf8_lower(contents), _MULTIBYTE_WS_PATTERN, " ")
+            pc.utf8_lower(contents), _NON_PORTABLE_WS_PATTERN, " ")
         lists = pc.utf8_split_whitespace(lowered)
         if isinstance(lists, pa.ChunkedArray):
             lists = lists.combine_chunks()

@@ -96,7 +96,7 @@ def test_property_parity_reference(docs):
 @given(
     st.lists(
         st.text(
-            alphabet="abcdef \t\n\xa0\u2003\u3000\x85XZ.",
+            alphabet="abcdef \t\n\xa0\u2003\u3000\x85\x1cXZ.",
             min_size=0,
             max_size=80,
         ),
@@ -118,11 +118,11 @@ def test_property_parity_whitespace(docs):
     _assert_parity(docs, "whitespace")
 
 # every multi-byte codepoint Python's str.split() splits on (the set
-# batch_tokenize._MULTIBYTE_WS_PATTERN normalizes away): each one mid-
+# batch_tokenize._NON_PORTABLE_WS_PATTERN normalizes away): each one mid-
 # string, at string start, and at string END — the last doc's trailing
 # char is the end of the batch's data buffer, where pyarrow 16.1.0's
 # utf8_split_whitespace misclassified U+00A0 depending on heap state
-_MB_WS = "\x85\xa0\u1680" + "".join(
+_MB_WS = "\x1c\x1d\x1e\x1f\x85\xa0\u1680" + "".join(
     chr(c) for c in range(0x2000, 0x200B)
 ) + "\u2028\u2029\u202f\u205f\u3000"
 MB_WS_DOCS = (
