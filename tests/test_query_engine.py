@@ -9,6 +9,7 @@ import os
 
 import numpy as np
 import pytest
+from hypothesis import given, settings, strategies as st
 
 from searchengine_ray.porter2 import stem
 
@@ -253,3 +254,62 @@ class TestDocStatsSidecars:
         assert titles == [want[d] for d in ids]
         # single lookup hits the cache path
         assert engine.index.get_title(ids[0]) == titles[0]
+
+class TestRandomizedQueries:
+    """Property fuzz of the full query surface vs the in-memory oracle:
+    random Boolean compositions (groups, negation incl. the leading-NOT
+    quirk, phrases) and random ranked queries, drawn from the corpus's
+    own vocabulary plus unknown words.  Extends the fixed-query
+    conformance tables above with generative coverage."""
+
+    @staticmethod
+    def _pool(oracle):
+        # grammar-safe vocabulary sample: strictly alnum so the surface
+        # split on '+'/'-'/quotes cannot disagree between the engine
+        # parser and the test's set-algebra evaluator
+        vocab = [t for t in sorted(oracle.index) if t.isalnum()]
+        return vocab[::5][:80] + ["zzznotaterm", "qqqmissing"]
+
+    @settings(max_examples=60, deadline=None)
+    @given(data=st.data())
+    def test_boolean_random_vs_oracle(self, engine, oracle, data):
+        pool = self._pool(oracle)
+        groups = []
+        for _ in range(data.draw(st.integers(1, 3), label="n_groups")):
+            items = []
+            for i in range(data.draw(st.integers(1, 4), label="n_items")):
+                kind = data.draw(
+                    st.sampled_from(["word", "neg", "phrase"]), label="kind")
+                if kind == "phrase":
+                    ws = data.draw(
+                        st.lists(st.sampled_from(pool), min_size=2,
+                                 max_size=3), label="phrase")
+                    items.append('"' + " ".join(ws) + '"')
+                else:
+                    w = data.draw(st.sampled_from(pool), label="word")
+                    items.append(("-" if kind == "neg" else "") + w)
+            groups.append(" ".join(items))
+        q = " + ".join(groups)
+        got = set(int(d) for d in engine.boolean_query(q))
+        assert got == boolean_oracle(oracle, q), q
+
+    @settings(max_examples=40, deadline=None)
+    @given(data=st.data())
+    def test_ranked_random_vs_oracle(self, engine, oracle, data):
+        pool = self._pool(oracle)
+        q = " ".join(data.draw(
+            st.lists(st.sampled_from(pool), min_size=1, max_size=5),
+            label="terms"))
+        use_okapi = data.draw(st.booleans(), label="okapi")
+        got = engine.ranked_query(q, use_okapi=use_okapi, top_k=15,
+                                  use_wand=False)
+        want = oracle.rank(q, use_okapi=use_okapi, top_k=15)
+        assert len(got) == len(want), q
+        for (gd, gs), (wd, ws) in zip(got, want):
+            assert gd == wd, q
+            assert gs == pytest.approx(ws, rel=1e-12), q
+        if use_okapi:
+            wand = engine.ranked_query(q, use_okapi=True, top_k=15,
+                                       use_wand=True)
+            assert [d for d, _ in wand] == [d for d, _ in got], q
+
