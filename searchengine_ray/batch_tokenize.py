@@ -6,9 +6,10 @@ per-token work, but the per-token work itself is memoized per *distinct*
 token (TokenTermCache) — so the only part that needs Python at all is the
 distinct-piece vocabulary of a batch.  This module restructures the stage:
 
-1. split documents into pieces with Arrow kernels
-   (`split_pattern` / `utf8_split_whitespace` — verified char-for-char
-   equal to the reference's ``line.split(" ")`` / Python ``str.split()``),
+1. split documents into pieces with classification-free Arrow kernels
+   (literal `split_pattern` after a whitespace-normalizing regex pass —
+   verified char-for-char equal to the reference's ``line.split(" ")`` /
+   Python ``str.split()``; see _PY_WS_PATTERN for why no utf8_* kernel),
 2. dictionary-encode the flat pieces and run the token->terms chain
    (T2 strip/clean/hyphen-expand + T3 stem, or whitespace identity) once
    per DISTINCT piece through the existing worker cache,
@@ -37,23 +38,24 @@ from .tokenizer import TokenTermCache
 # analyzers this fast path covers; others fall back to the per-doc loop
 VECTORIZED_ANALYZERS = ("reference", "whitespace")
 
-# Every codepoint Python's str.split() treats as whitespace EXCEPT the
-# six (\t \n \v \f \r space) that pyarrow's ASCII and UTF8 whitespace
-# classifiers agree on: the multi-byte set (U+0085, U+00A0, U+1680,
-# U+2000-U+200A, U+2028, U+2029, U+202F, U+205F, U+3000) plus the
-# single-byte controls U+001C-U+001F, which utf8_split_whitespace and
-# Python split on but ascii_split_whitespace does not.  pyarrow 16.1.0's
-# utf8_split_whitespace nondeterministically degrades to the ASCII
-# classification for some inputs (observed: a buffer-final U+00A0 kept
-# inside the final piece, and a \x1c-bearing batch, both dependent on
-# the heap state left by unrelated allocations — found by the hypothesis
-# parity suite, tests/test_batch_tokenize.py).  RE2's byte-DFA replace
-# has no such state, so normalizing every classifier-disputed whitespace
-# char to a plain space before the split makes the split deterministic
-# while preserving exact str.split() piece boundaries (each whitespace
-# char maps 1:1 to a space; runs collapse identically).
-_NON_PORTABLE_WS_PATTERN = (
-    "[\x1c-\x1f\u0085\u00a0\u1680\u2000-\u200a"
+# Every codepoint Python's str.split() treats as whitespace, space itself
+# excepted.  pyarrow 16.1.0's utf8_split_whitespace (and utf8_lower)
+# nondeterministically misclassify the FINAL codepoint of an array's data
+# buffer depending on the heap state left by unrelated allocations —
+# observed live on a buffer-final U+00A0, U+001C, and even ASCII \x0b,
+# each kept inside the last piece while an identical freshly-built array
+# split correctly (found by the hypothesis parity suite; reproducers in
+# tests/test_batch_tokenize.py).  RE2's byte-DFA replace showed correct
+# output in the same bad heap states, so the whitespace path uses ONLY
+# classification-free kernels: one regex pass normalizes every
+# whitespace codepoint to a plain space, then the literal memcmp-based
+# split_pattern(" ") — the same kernel family as the reference path,
+# which has never exhibited the flake — does the splitting.  Piece
+# boundaries are exactly Python str.split()'s; the extra empty pieces
+# from uncollapsed runs are already inert downstream (zero terms, no
+# position, zero doc_length weight).
+_PY_WS_PATTERN = (
+    "[\t\n\x0b\x0c\r\x1c-\x1f\u0085\u00a0\u1680\u2000-\u200a"
     "\u2028\u2029\u202f\u205f\u3000]"
 )
 
@@ -72,9 +74,19 @@ def _flat_pieces(
     terms and no position, same as reference empties."""
     contents = pc.fill_null(contents, "")
     if analyzer == "whitespace":
-        lowered = pc.replace_substring_regex(
-            pc.utf8_lower(contents), _NON_PORTABLE_WS_PATTERN, " ")
-        lists = pc.utf8_split_whitespace(lowered)
+        # Split BEFORE lowercasing (no codepoint changes case into or out
+        # of whitespace, so piece boundaries are identical); the lowercase
+        # itself happens per DISTINCT piece in Python (_distinct_terms).
+        # pc.utf8_lower is kept out of this path deliberately: it shows
+        # the same heap-state-dependent final-codepoint misclassification
+        # as utf8_split_whitespace (observed leaving a lone É uppercase),
+        # and even its good state diverges from Python's str.lower() on
+        # context-sensitive mappings — Greek final sigma ("ΑΣ" must lower
+        # to "ας", utf8proc's per-codepoint map gives "ασ") and U+0130
+        # ("İ" must expand to "i" + U+0307).
+        normalized = pc.replace_substring_regex(
+            contents, _PY_WS_PATTERN, " ")
+        lists = pc.split_pattern(normalized, " ")
         if isinstance(lists, pa.ChunkedArray):
             lists = lists.combine_chunks()
         lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
@@ -110,11 +122,14 @@ def _distinct_terms(
     is_tok = np.zeros(n, dtype=bool)
     flat: list[str] = []
     if analyzer == "whitespace":
+        # Python str.lower() here (not pc.utf8_lower at the batch level)
+        # for exact slow-path semantics incl. final sigma and U+0130 —
+        # see _flat_pieces; cost is per distinct piece only.
         for i, piece in enumerate(distinct):
             if piece:
                 is_tok[i] = True
                 lens[i] = 1
-                flat.append(piece)
+                flat.append(piece.lower())
     else:
         terms_for = cache.terms_for
         for i, piece in enumerate(distinct):
