@@ -143,3 +143,17 @@ def test_multibyte_whitespace_buffer_final():
     _assert_parity(["X Y", "X\xa0", ""], "whitespace")
     _assert_parity(["X Y", "X\u3000", ""], "whitespace")
 
+def test_buffer_final_ascii_whitespace():
+    # buffer-final ASCII \x0b — the live-caught shape where even the
+    # ASCII whitespace classification of the last data byte flipped
+    _assert_parity(["a b", "c\x0b"], "whitespace")
+    _assert_parity(["x-x\x1c\r2\u1680\u1680\x0b"], "whitespace")
+
+
+def test_python_lower_special_cases():
+    # context-sensitive case mappings Python implements but utf8proc's
+    # per-codepoint table does not: Greek final sigma and U+0130
+    _assert_parity(["\u0391\u03a3 \u0392\u0397\u03a4\u0391\u03a3"],
+                   "whitespace")
+    _assert_parity(["b\u01300 \u0130 x", "\u00c9 \u00d1"], "whitespace")
+
