@@ -73,9 +73,11 @@ def main() -> None:
     docstats_dir = os.path.join(os.path.dirname(docterms_dir.rstrip("/")),
                                 "docstats")
     if os.path.isdir(docstats_dir):
-        n_docs, tot = corpus_scalars(docstats_dir)
+        # read-only diagnostic: never mutate the index under inspection
+        n_docs, tot = corpus_scalars(docstats_dir, allow_cleanup=False)
     else:
-        n_docs, tot = corpus_scalars(docterms_dir, check_dense=False)
+        n_docs, tot = corpus_scalars(docterms_dir, check_dense=False,
+                                     allow_cleanup=False)
     avgdl = tot / max(1, n_docs)
     heavy = detect_heavy_terms(docterms_dir, cfg)
 
@@ -84,13 +86,14 @@ def main() -> None:
         seg_dir = f"/tmp/exchange_probe_seg_{num_cpus}"
         shutil.rmtree(seg_dir, ignore_errors=True)
         t = time.perf_counter()
-        metrics = build_segments_exchange(
+        metrics, plan = build_segments_exchange(
             docterms_dir, seg_dir, cfg, heavy, avgdl)
         wall = time.perf_counter() - t
         rec = {"num_cpus": num_cpus, "rep": rep, "n_docs": n_docs,
                "buckets": buckets, "exchange_sec": round(wall, 2),
                "segments": len(metrics),
-               "rows": sum(m["rows"] for m in metrics)}
+               "rows": sum(m["rows"] for m in metrics),
+               "plan": plan}
         if prof_dir:
             rec["prof"] = prof_summary(prof_dir)
         print(json.dumps(rec), flush=True)

@@ -39,7 +39,13 @@ from bench import bw_probe  # noqa: E402  (Ray-free memcpy probe)
 #: round's weather record survives the session — the deferral evidence
 #: behind BASELINE.md's scaling-criterion protocol ("runs are launched
 #: only into quiet windows; the gate probed continuously in between").
-DEFAULT_LOG = os.path.join(_REPO, "SCALING_r05_weather.jsonl")
+#: The round tag comes from GRAFT_ROUND (default r5, the round this
+#: harness shipped in) so a later round's probes land in THEIR OWN log
+#: instead of silently appending to a frozen earlier round's evidence
+#: file (code-review r5).
+DEFAULT_LOG = os.path.join(
+    _REPO,
+    f"SCALING_{os.environ.get('GRAFT_ROUND', 'r05')}_weather.jsonl")
 
 
 def _log_probe(path: str, **row) -> None:

@@ -394,10 +394,9 @@ def _group_postings_batch(
     doc_np = _as_array(tok.column("doc_id")).to_numpy(zero_copy_only=False)
     if doc_np.size == 0:
         return _POSTINGS_SCHEMA.empty_table(), docstats
-    breaks = np.flatnonzero(np.diff(doc_np) != 1) + 1
-    if breaks.size == 0:
+    bounds = _dense_run_bounds(doc_np)
+    if len(bounds) == 2:
         return _group_segment(cfg, tok), docstats
-    bounds = [0, *breaks.tolist(), doc_np.size]
     parts = [
         _group_segment(cfg, tok.slice(a, b - a))
         for a, b in zip(bounds[:-1], bounds[1:])
@@ -408,6 +407,16 @@ def _group_postings_batch(
     if len(parts) == 1:
         return parts[0], docstats
     return pa.concat_tables(parts).combine_chunks(), docstats
+
+
+def _dense_run_bounds(ids: np.ndarray) -> list[int]:
+    """Slice bounds of the maximal dense-consecutive runs of ``ids``
+    (ascending, step 1): returns [0, b1, ..., len].  Both the postings
+    grouping (fragments must not cross a dense seam) and the docstats
+    file naming (one exactly-dense [lo..hi] file per run) depend on the
+    SAME seam positions — computed here once so they cannot diverge."""
+    breaks = np.flatnonzero(np.diff(ids) != 1) + 1
+    return [0, *breaks.tolist(), ids.size]
 
 
 def _write_docstats_block(docstats_dir: str, tbl: pa.Table) -> None:
@@ -428,8 +437,7 @@ def _write_docstats_block(docstats_dir: str, tbl: pa.Table) -> None:
     import uuid
 
     ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
-    breaks = np.flatnonzero(np.diff(ids) != 1) + 1
-    bounds = [0, *breaks.tolist(), ids.size]
+    bounds = _dense_run_bounds(ids)
     os.makedirs(docstats_dir, exist_ok=True)
     for a, b in zip(bounds[:-1], bounds[1:]):
         seg = tbl.slice(a, b - a)
@@ -856,7 +864,7 @@ def _encode_file_fragments(
     # By construction every intra-run gap is now > 0; keep a loud guard so
     # any future refactor of the break condition fails here instead of
     # VByte-encoding a wrapped unsigned value.
-    if n > 1 and int(gap[~new].min(initial=1)) <= 0:
+    if n > 1 and int(np.min(gap, initial=1, where=~new)) <= 0:
         raise ValueError(
             "non-positive intra-run doc gap in docterms fragment encode; "
             "run-break invariant violated"
@@ -1646,7 +1654,8 @@ def _sum_doc_lengths(files: list[str],
 
 def corpus_scalars(docterms_dir: str,
                    check_dense: bool = True,
-                   base: int = 0) -> tuple[int, int]:
+                   base: int = 0,
+                   allow_cleanup: bool = True) -> tuple[int, int]:
     """(num_docs, total_tokens) via a small remote tree: the driver holds
     O(tasks) partials, never an O(corpus) column (VERDICT r3 #4 — the old
     single-process ``pq.read_table(columns=["doc_length"])`` materialised
@@ -1708,15 +1717,19 @@ def corpus_scalars(docterms_dir: str,
                 f"{base}..{base + rows - 1})"
             )
         return rows, tot
-    return _reconcile_stale_docstats(spans, base)
+    return _reconcile_stale_docstats(spans, base, allow_cleanup)
 
 
-def _reconcile_stale_docstats(spans: list, base: int = 0) -> tuple[int, int]:
+def _reconcile_stale_docstats(spans: list, base: int = 0,
+                              allow_cleanup: bool = True) -> tuple[int, int]:
     """Newest-first greedy selection of non-overlapping docstats files;
     see ``corpus_scalars``.  ``spans`` is the per-file
     (lo, hi, rows, n_unique, sum_dl, path) list with at least one range
     overlap.  Returns (num_docs, total_tokens) over the kept tiling and
-    deletes the stale losers, or raises if no exact tiling emerges."""
+    deletes the stale losers, or raises if no exact tiling emerges.
+    ``allow_cleanup=False`` (read-only callers, e.g. diagnostics like
+    scripts/exchange_probe.py) computes the same scalars but leaves the
+    stale files on disk for the build's own commit path to clean up."""
     import warnings
 
     by_newness = sorted(
@@ -1754,11 +1767,12 @@ def _reconcile_stale_docstats(spans: list, base: int = 0) -> tuple[int, int]:
             "side-writes from a lineage re-execution; rebuild the "
             "docterms stage"
         )
-    for s in dropped:
-        try:
-            os.remove(s[5])
-        except OSError:
-            pass
+    if allow_cleanup:
+        for s in dropped:
+            try:
+                os.remove(s[5])
+            except OSError:
+                pass
     warnings.warn(
         f"docstats reconciliation: dropped {len(dropped)} stale "
         f"overlapping side-file(s) left by a task retry; kept "
@@ -1817,12 +1831,16 @@ def build_index(
             _id_col = cfg.id_col
 
             def _idspan_partial(b: pa.Table) -> pa.Table:
-                import pyarrow.compute as _pc
-
-                col = b.column(_id_col)
-                return pa.table({"lo": [_pc.min(col).as_py()],
-                                 "hi": [_pc.max(col).as_py()],
-                                 "n": [b.num_rows]})
+                ids = b.column(_id_col).to_numpy(
+                    zero_copy_only=False).astype(np.uint64, copy=False)
+                # moments accumulate mod 2^64 (numpy uint64 wraps, C
+                # semantics); the driver compares in the same ring
+                s1 = int(ids.sum(dtype=np.uint64))
+                s2 = int((ids * ids).sum(dtype=np.uint64))
+                return pa.table({"lo": [int(ids.min())],
+                                 "hi": [int(ids.max())],
+                                 "n": [b.num_rows],
+                                 "s1": [s1], "s2": [s2]})
 
             def _validate_ids(ds=corpus, b=cfg.doc_id_base):
                 try:
@@ -1833,14 +1851,40 @@ def build_index(
                     n = sum(p["n"] for p in parts)
                     if not n:
                         return
-                    lo = min(p["lo"] for p in parts)
-                    hi = max(p["hi"] for p in parts)
-                    if lo != b or hi != b + n - 1:
+                    lo = int(min(p["lo"] for p in parts))
+                    hi = int(max(p["hi"] for p in parts))
+                    # min/max/count alone pass compensated duplicates
+                    # (e.g. [0, 1, 1, 3]): also require the first two
+                    # power sums of the ids to equal those of b..b+n-1,
+                    # computed exactly in the mod-2^64 ring on both
+                    # sides (numpy uint64 wraps; the closed forms below
+                    # use Python big ints then reduce).  This catches
+                    # every duplicate/shift/offset corruption pattern a
+                    # retry or mis-assignment produces; only a
+                    # deliberately constructed Prouhet-Tarry-Escott
+                    # multiset (e.g. swapping {1,5,6} for {2,3,7}) can
+                    # still pass, which is outside this guard's threat
+                    # model (corruption, not adversarial input).
+                    M = 1 << 64
+                    s1 = sum(int(p["s1"]) for p in parts) % M
+                    s2 = sum(int(p["s2"]) for p in parts) % M
+
+                    def _sq_prefix(m: int) -> int:
+                        return m * (m + 1) * (2 * m + 1) // 6
+
+                    first, last = int(b), int(b) + n - 1
+                    want_s1 = ((first + last) * n // 2) % M
+                    want_s2 = (_sq_prefix(last)
+                               - _sq_prefix(first - 1)) % M
+                    if (lo != b or hi != b + n - 1
+                            or s1 != want_s1 or s2 != want_s2):
                         raise ValueError(
-                            f"pre-assigned {_id_col!r} must be dense "
-                            f"{b}..{b}+N-1 (got min={lo}, max={hi}, "
-                            f"rows={n}); drop the column to have "
-                            f"build_index assign ids, or re-assign with "
+                            f"pre-assigned {_id_col!r} must be a dense "
+                            f"permutation of {b}..{b}+N-1 (got min={lo}, "
+                            f"max={hi}, rows={n}; power-sum check "
+                            f"{'ok' if s1 == want_s1 and s2 == want_s2 else 'FAILED - duplicate or corrupt ids'}); "
+                            f"drop the column to have build_index assign "
+                            f"ids, or re-assign with "
                             f"searchengine_ray.ids.assign_doc_ids"
                         )
                 except BaseException as e:  # re-raised on the build thread

@@ -26,9 +26,14 @@ reads the stored bounds — it recomputes wdt from tftd + doc stats with
 the merged avgdl.
 
 Per-file work (copy or two-column rewrite) runs as Ray tasks — the
-merge is index-sized I/O, embarrassingly parallel, and resumable (a
-re-run skips destination files that already exist with the right size;
-writes are tmp+rename).
+merge is index-sized I/O, embarrassingly parallel, and resumable: a
+``_MERGE_FINGERPRINT`` marker written before any copy records the
+generation set the on-disk files belong to, a re-run with the same set
+skips existing destination files (tmp+rename writes), and a re-run with
+a DIFFERENT set wipes the previous merge's outputs first (their wdt
+bounds were scaled for the old merged avgdl and their docstats tile a
+different doc-id space).  Pointing the merge at a ``build_index`` output
+dir raises instead of overwriting.
 
 Limits: per-generation salting may differ (heavy detection sees only
 its own corpus) — fine for serving (salt is an opaque row key; the
@@ -145,8 +150,48 @@ def merge_indexes(part_dirs: list[str], out_dir: str) -> dict:
 
     seg_out = os.path.join(out_dir, "segments")
     stats_out = os.path.join(out_dir, "docstats")
+
+    # Resume safety: per-file "exists with size > 0" checks are only
+    # valid if the surviving files came from THIS generation set — a
+    # previous merge of a different set into the same out_dir leaves
+    # segments whose wdt bounds were scaled for the OLD merged avgdl
+    # (silently breaking block-max WAND's upper-bound invariant when the
+    # new avgdl is larger) and docstats for a different doc-id space.
+    # The fingerprint marker, written BEFORE any file copy, identifies
+    # the generation set the on-disk files belong to: matching marker →
+    # resume; anything else under out_dir → wipe the merge outputs
+    # (refusing, rather than wiping, when out_dir holds a non-merge
+    # index — someone pointed the merge at a build_index output).
+    fingerprint = "merge:" + ",".join(
+        str(m.get("fingerprint")) for _, m in parts)
+    marker_path = os.path.join(out_dir, "_MERGE_FINGERPRINT")
+    manifest_path = os.path.join(out_dir, MANIFEST_NAME)
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            prev = json.load(f)
+        if "merged_from" not in prev:
+            raise ValueError(
+                f"{out_dir} holds an index built by build_index, not a "
+                f"previous merge; refusing to overwrite — pick an empty "
+                f"out_dir or delete it first")
+    prev_fp = None
+    if os.path.exists(marker_path):
+        with open(marker_path) as f:
+            prev_fp = f.read()
+    if prev_fp != fingerprint:
+        shutil.rmtree(seg_out, ignore_errors=True)
+        shutil.rmtree(stats_out, ignore_errors=True)
+        shutil.rmtree(os.path.join(out_dir, "docstats_cache"),
+                      ignore_errors=True)
+        if os.path.exists(manifest_path):
+            os.remove(manifest_path)
+
     os.makedirs(seg_out, exist_ok=True)
     os.makedirs(stats_out, exist_ok=True)
+    tmp_marker = marker_path + ".tmp"
+    with open(tmp_marker, "w") as f:
+        f.write(fingerprint)
+    os.replace(tmp_marker, marker_path)
 
     seg_entries, gen_meta, copy_refs = [], [], []
     for gi, (d, m) in enumerate(parts):
@@ -196,8 +241,7 @@ def merge_indexes(part_dirs: list[str], out_dir: str) -> dict:
         "segment_format": SEGMENT_FORMAT,
         "input": "merged:" + ",".join(m["input"] for _, m in parts),
         "config": {**cfg0, "doc_id_base": 0},
-        "fingerprint": "merge:" + ",".join(
-            str(g["fingerprint"]) for g in gen_meta),
+        "fingerprint": fingerprint,
         "num_docs": num_docs,
         "doc_id_base": 0,
         "total_tokens": total_tokens,

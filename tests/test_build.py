@@ -609,3 +609,52 @@ class TestCorpusScalars:
             # retry's files, every stale survivor is deleted
             assert sorted(os.listdir(d)) == sorted(
                 f"final_{i}.parquet" for i in range(len(final)))
+
+class TestPreassignedIdValidation:
+    def _mini(self, ids):
+        import pandas as pd
+
+        n = len(ids)
+        return pd.DataFrame({
+            "doc_id": ids,
+            "repo": ["r"] * n,
+            "path": [f"f{i}.py" for i in range(n)],
+            "commit": ["c"] * n,
+            "content": ["alpha beta"] * n,
+        })
+
+    def test_duplicate_ids_rejected(self, ray_session, tmp_path):
+        """Code-review r5: [0, 1, 1, 3] passes min/max/count but must be
+        caught by the power-sum moments before the index commits."""
+        import ray.data
+
+        from searchengine_ray.build import IndexBuildConfig, build_index
+
+        ds = ray.data.from_pandas(self._mini([0, 1, 1, 3]))
+        with pytest.raises(ValueError, match="dense permutation"):
+            build_index(ds, str(tmp_path / "idx"),
+                        IndexBuildConfig(num_buckets=2),
+                        input_description="dup-ids")
+
+    def test_sparse_ids_rejected(self, ray_session, tmp_path):
+        import ray.data
+
+        from searchengine_ray.build import IndexBuildConfig, build_index
+
+        ds = ray.data.from_pandas(self._mini([0, 1, 2, 9]))
+        with pytest.raises(ValueError, match="dense permutation"):
+            build_index(ds, str(tmp_path / "idx"),
+                        IndexBuildConfig(num_buckets=2),
+                        input_description="sparse-ids")
+
+    def test_valid_permutation_accepted(self, ray_session, tmp_path):
+        import ray.data
+
+        from searchengine_ray.build import IndexBuildConfig, build_index
+
+        ds = ray.data.from_pandas(self._mini([2, 0, 3, 1]))
+        m = build_index(ds, str(tmp_path / "idx"),
+                        IndexBuildConfig(num_buckets=2),
+                        input_description="perm-ids")
+        assert m["num_docs"] == 4
+

@@ -8,6 +8,7 @@ differently (each build's heavy detection sees only its own corpus)."""
 
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -226,3 +227,51 @@ def test_merge_rejects_config_mismatch(ray_session, small_corpus,
     a_dir = os.path.join(os.path.dirname(merged_setup[1]), "a")
     with pytest.raises(ValueError, match="num_buckets"):
         merge_indexes([a_dir, b2], str(root / "out"))
+
+def test_remerge_different_generation_set_resets_outputs(
+        merged_setup, tmp_path):
+    """Code-review r5 regression: re-merging a DIFFERENT generation set
+    into the same out_dir must not resume off the previous merge's files
+    — their wdt bounds were scaled for the old merged avgdl and the old
+    docstats tile a different doc-id space.  Merging [a] into a dir that
+    previously held merge([a, b]) must serve exactly generation a."""
+    from searchengine_ray.query.reader import DiskIndexReader
+
+    full_dir, out_dir, b_dir, _ = merged_setup
+    # reconstruct generation a's dir from the merged manifest lineage
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        merged_manifest = json.load(f)
+    a_dir = merged_manifest["merged_from"][0]["dir"]
+
+    re_out = str(tmp_path / "re_out")
+    merge_indexes([a_dir, b_dir], re_out)
+    n_both = DiskIndexReader(re_out).num_docs
+    stale_stats = set(os.listdir(os.path.join(re_out, "docstats")))
+
+    manifest_a = merge_indexes([a_dir], re_out)
+    r = DiskIndexReader(re_out)
+    ra = DiskIndexReader(a_dir)
+    assert r.num_docs == ra.num_docs < n_both
+    assert manifest_a["num_docs"] == ra.num_docs
+    # the larger merge's docstats (and its generation-b segments) are gone
+    assert set(os.listdir(os.path.join(re_out, "docstats"))) < stale_stats
+    assert r.get_vocabulary() == ra.get_vocabulary()
+    # identical re-merge resumes (files untouched)
+    import time as _t
+    seg_dir = os.path.join(re_out, "segments")
+    before = {f: os.path.getmtime(os.path.join(seg_dir, f))
+              for f in os.listdir(seg_dir)}
+    merge_indexes([a_dir], re_out)
+    after = {f: os.path.getmtime(os.path.join(seg_dir, f))
+             for f in os.listdir(seg_dir)}
+    assert after == before
+
+
+def test_merge_refuses_build_index_out_dir(merged_setup):
+    """Pointing the merge at a build_index output must raise, not wipe."""
+    full_dir, out_dir, b_dir, _ = merged_setup
+    with open(os.path.join(out_dir, "manifest.json")) as f:
+        a_dir = json.load(f)["merged_from"][0]["dir"]
+    with pytest.raises(ValueError, match="refusing"):
+        merge_indexes([a_dir], full_dir)
+
