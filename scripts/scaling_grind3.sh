@@ -41,8 +41,11 @@ while :; do
         sampled=$((sampled + 1))
         if [ "$leg" -eq 16 ]; then leg=4; else leg=16; fi
     else
-        # deferred (rc 3) or failed (logged): wait out the weather
-        sleep 40
+        # deferred (rc 3) or failed (logged): re-probe soon — the storm's
+        # quiet spikes can be shorter than a 40 s nap (a gated bench rep
+        # caught a 10.9 GB/s pre-probe inside one); the probe itself
+        # costs ~3 s, so a 15 s cadence stays light on the bus
+        sleep 15
     fi
 done
 echo "leg grind exit after $sampled samples"
