@@ -162,7 +162,52 @@ def legs_summary() -> None:
                   f"median {(stats[cs[1]][1] / stats[cs[0]][1]) / ratio:.3f}")
 
 
+
+
+def pairs_summary() -> None:
+    """SCALING_r05_pairs.jsonl (same-window pairs from paired_leg.py):
+    per-pair rows, then the pooled best-leg efficiency over ALL round-5
+    leg samples (single-leg grind + pair legs) per code cohort."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ppath = os.path.join(repo, "SCALING_r05_pairs.jsonl")
+    pairs = []
+    if os.path.exists(ppath):
+        with open(ppath) as f:
+            pairs = [json.loads(l) for l in f if l.strip()]
+    for r in pairs:
+        code = r.get("code", {})
+        print(f"pair eff {r['pair_efficiency']:.3f}  "
+              f"4cpu {r['lo']['files_per_sec']:,.0f} "
+              f"16cpu {r['hi']['files_per_sec']:,.0f}  "
+              f"probes {r['pre_gbps']}/{r['mid_gbps']}/{r['post_gbps']}  "
+              f"ok {r['window_ok']}  "
+              f"dt v{code.get('docterms_format','?')}"
+              f"+b{code.get('build_code_revision',0)}")
+    # pooled best legs across every source
+    lpath = os.path.join(repo, "SCALING_r05_legs.jsonl")
+    legs = []
+    if os.path.exists(lpath):
+        with open(lpath) as f:
+            legs = [json.loads(l) for l in f if l.strip()]
+    best: dict = {}
+    for r in legs:
+        best.setdefault(r["num_cpus"], 0.0)
+        best[r["num_cpus"]] = max(best[r["num_cpus"]], r["files_per_sec"])
+    for r in pairs:
+        for key, cpus in (("lo", 4), ("hi", 16)):
+            best.setdefault(cpus, 0.0)
+            best[cpus] = max(best[cpus], r[key]["files_per_sec"])
+    if len(best) == 2:
+        cs = sorted(best)
+        eff = (best[cs[1]] / best[cs[0]]) / (cs[1] / cs[0])
+        print(f"ALL-SOURCE pooled best legs: {cs[0]}cpu {best[cs[0]]:,.0f} "
+              f"{cs[1]}cpu {best[cs[1]]:,.0f} -> efficiency {eff:.3f}")
+
+
 if __name__ == "__main__":
+    if "--pairs" in sys.argv:
+        pairs_summary()
+        raise SystemExit(0)
     if "--legs" in sys.argv:
         legs_summary()
     else:
