@@ -44,7 +44,15 @@ def _leg(num_cpus: int, n_docs: int) -> dict:
 
 
 def main() -> int:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 300000
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_docs = int(args[0]) if args else 300000
+    # Leg order alternates across the cohort (--order=hi-first): the
+    # first 8 pairs all ran lo-first, and their mid-probes show the
+    # ~48 s 4-CPU leg outliving the opening quiet window, so the
+    # returning storm systematically landed on the 16-CPU leg —
+    # a one-sided bias the alternation symmetrizes (same rationale as
+    # the full runs' lo/hi rep interleave).
+    hi_first = "--order=hi-first" in sys.argv
     pre = bench.bw_probe()
     if pre < PAIR_GATE_GBPS:
         with open(os.path.join(REPO, "SCALING_r05_weather.jsonl"), "a") as f:
@@ -53,9 +61,14 @@ def main() -> int:
                                 "gate": PAIR_GATE_GBPS}) + "\n")
         print(f"defer: opening probe {pre} GB/s < {PAIR_GATE_GBPS}")
         return 3
-    lo = _leg(4, n_docs)
-    mid = bench.bw_probe()
-    hi = _leg(16, n_docs)
+    if hi_first:
+        hi = _leg(16, n_docs)
+        mid = bench.bw_probe()
+        lo = _leg(4, n_docs)
+    else:
+        lo = _leg(4, n_docs)
+        mid = bench.bw_probe()
+        hi = _leg(16, n_docs)
     post = bench._post_probe()
     eff = (hi["files_per_sec"] / lo["files_per_sec"]) / 4.0
     rec = {
@@ -68,6 +81,7 @@ def main() -> int:
         "window_ok": bool(pre >= bench.QUIET_GBPS
                           and mid >= bench.QUIET_GBPS
                           and post >= bench.QUIET_GBPS),
+        "order": "hi-first" if hi_first else "lo-first",
         "gate_gbps": PAIR_GATE_GBPS,
         "code": bench._code_versions(),
     }

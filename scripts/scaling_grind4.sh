@@ -16,6 +16,7 @@ MAX_SECS=${2:-14400}
 t0=$(date +%s)
 events=0
 leg=16
+order="--order=hi-first"
 while :; do
     [ -e /tmp/stop_scaling_grind ] && break
     now=$(date +%s)
@@ -25,10 +26,15 @@ while :; do
         sleep 20
         continue
     fi
-    python scripts/paired_leg.py >> /tmp/leg_grind.log 2>&1
+    python scripts/paired_leg.py "$order" >> /tmp/leg_grind.log 2>&1
     rc=$?
     if [ "$rc" -eq 0 ]; then
         events=$((events + 1))
+        if [ "$order" = "--order=hi-first" ]; then
+            order="--order=lo-first"
+        else
+            order="--order=hi-first"
+        fi
         continue
     fi
     python scripts/leg_sample.py "$leg" >> /tmp/leg_grind.log 2>&1
